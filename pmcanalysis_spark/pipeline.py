@@ -1,0 +1,96 @@
+"""End-to-end KG construction: web_pages -> triples (SURVEY.md §3.1, §7.2).
+
+Stage boundaries (each an exchange in the physical plan):
+  scan(web_pages) -> extract UDF -> NER UDF      [narrow, Arrow-batched]
+  -> distinct doc_terms                          [shuffle on (term, doc)]
+  -> hierarchy closure                           [broadcast join, no shuffle]
+  -> self-join on doc_id + pair agg              [shuffle doc_id, then (a,b)]
+  -> broadcast na/nb + score exprs               [narrow]
+
+Equivalent of /root/reference/FindDiseasePhenotypes2.groovy end-to-end, with
+the documented improvements: no 32768-hit truncation (W5), exact doc sets,
+NaN-filter fixed (P6), and all-candidate entity links preserved (J1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .extract import extract_text_udf
+from .nlp import MINLENGTH, detect_mentions
+from .operators.cooccur import (
+    close_over_hierarchy,
+    corpus_size,
+    doc_terms,
+    pair_counts,
+    scored_pairs,
+    term_stats,
+)
+
+
+@dataclass
+class PipelineConfig:
+    lang: str | None = "en"
+    a_prefix: str = "DOID:"
+    b_prefixes: tuple[str, ...] = ("HP:", "MP:")
+    pred: str = "has-phenotype"
+    min_name_len: int = MINLENGTH
+    salt_buckets: int = 0
+    extra: dict = field(default_factory=dict)
+
+
+def extract_stage(web_pages: DataFrame, lang: str | None = "en") -> DataFrame:
+    """web_pages -> extracted(url, text). Column pruning means the parquet
+    scan reads only (url, html, lang) here — ``text``/``warc_ts`` never leave
+    storage unless asked for."""
+    df = web_pages
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    return df.select("url", extract_text_udf(F.col("html")).alias("text"))
+
+
+def build_mentions(
+    web_pages: DataFrame,
+    lexicon_entries: list[tuple[str, str]],
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    cfg = cfg or PipelineConfig()
+    extracted = extract_stage(web_pages, cfg.lang)
+    return detect_mentions(extracted, lexicon_entries, cfg.min_name_len)
+
+
+def build_triples(
+    web_pages: DataFrame,
+    lexicon_entries: list[tuple[str, str]],
+    hierarchy: DataFrame | None = None,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """The flagship query. Returns triples(subj, pred, obj, 5 scores, nab, na, nb)."""
+    cfg = cfg or PipelineConfig()
+    mentions = build_mentions(web_pages, lexicon_entries, cfg)
+    dt = doc_terms(mentions)
+    if hierarchy is not None:
+        dt = close_over_hierarchy(dt, hierarchy)
+    # one NER pass feeds every downstream consumer; cache the small distinct set
+    dt = dt.persist()
+    try:
+        total = corpus_size(dt)
+        stats = term_stats(dt)
+        parts = []
+        for b_prefix in cfg.b_prefixes:
+            pc = pair_counts(dt, a_prefix=cfg.a_prefix, b_prefix=b_prefix,
+                             salt_buckets=cfg.salt_buckets)
+            parts.append(pc)
+        pairs = parts[0]
+        for p in parts[1:]:
+            pairs = pairs.unionByName(p)
+        out = scored_pairs(pairs, stats, total, pred=cfg.pred)
+        # materialization boundary: caller writes; we return the plan
+        return out
+    finally:
+        # unpersist lazily is unsafe before actions; caller may re-trigger.
+        # dt stays cached for the session; small table (terms x docs distinct).
+        pass

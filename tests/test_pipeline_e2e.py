@@ -1,0 +1,71 @@
+"""End-to-end: Spark pipeline triples == miniature oracle triples (P/R = 1.0)
+on the deterministic fixture corpus (SURVEY.md §5, §7.2 step 2-3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pmcanalysis_spark.fixtures import (
+    build_hierarchy_terms,
+    build_lexicon,
+    build_web_pages,
+)
+from pmcanalysis_spark.oracle import MiniOracle, approx_equal
+from pmcanalysis_spark.pipeline import PipelineConfig, build_mentions, build_triples
+from pmcanalysis_spark.schemas import HIERARCHY, WEB_PAGES
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return build_web_pages(200)
+
+
+@pytest.fixture(scope="module")
+def lexicon():
+    return build_lexicon()
+
+
+def test_mentions_match_oracle(spark, corpus, lexicon):
+    df = spark.createDataFrame(corpus, WEB_PAGES)
+    entries = [(e.name, e.term_id) for e in lexicon]
+    got = {
+        (r.url, r.sent_idx, r.term_id, r.name, r.begin, r.end)
+        for r in build_mentions(df, entries).collect()
+    }
+    oracle = MiniOracle(lexicon)
+    expected = set()
+    for p in corpus:
+        if p["lang"] != "en":
+            continue
+        expected.update(tuple(m) for m in oracle.mentions_for_text(p["url"], p["text"]))
+    assert expected, "fixture must plant at least some mentions"
+    assert got == expected
+
+
+@pytest.mark.parametrize("use_hierarchy", [False, True])
+def test_triples_match_oracle(spark, corpus, lexicon, use_hierarchy):
+    _, closure = build_hierarchy_terms()
+    df = spark.createDataFrame(corpus, WEB_PAGES)
+    entries = [(e.name, e.term_id) for e in lexicon]
+    hier_df = (
+        spark.createDataFrame(closure, HIERARCHY) if use_hierarchy else None
+    )
+    cfg = PipelineConfig()
+    got_rows = build_triples(df, entries, hierarchy=hier_df, cfg=cfg).collect()
+
+    oracle = MiniOracle(lexicon, hierarchy=closure if use_hierarchy else None)
+    exp_rows = oracle.triples(corpus)
+
+    got = {(r.subj, r.obj): r for r in got_rows}
+    exp = {(r[0], r[2]): r for r in exp_rows}
+    assert set(got) == set(exp), (
+        f"pair sets differ: only_spark={set(got) - set(exp)} "
+        f"only_oracle={set(exp) - set(got)}"
+    )
+    assert got, "fixture must produce at least one scored pair"
+    for key, er in exp.items():
+        gr = got[key]
+        assert gr.pred == er[1]
+        assert (gr.nab, gr.na, gr.nb) == (er[8], er[9], er[10]), key
+        for i, col in enumerate(["tscore", "zscore", "lmi", "npmi", "lgl"]):
+            assert approx_equal(gr[col], er[3 + i]), (key, col, gr[col], er[3 + i])
