@@ -191,7 +191,7 @@ def build_author_records() -> list[dict]:
                         "author_key": key,
                         "coauthors": [coauthor_pool[d % 4], coauthor_pool[(d + 1) % 4]],
                         "mesh": [mesh_pool[d % 6], mesh_pool[(d + 2) % 6]],
-                        "title_tokens": [f"title_{a}_{e}", f"word{d}", f"w{doc_n}"],
+                        "title_tokens": [f"title_{a}_{e}", f"word_{a}_{e}_{d}", f"w{doc_n}"],
                         "affiliation_tokens": affil,
                         "true_entity": ent,
                     }

@@ -1,0 +1,203 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All portable-hash based (md5 prefix -> bigint) so DuckDB oracles can verify
+bit-for-bit, and all expressed as native Column algebra (zero Python UDFs):
+
+- exact_dedup: hash-groupBy, keep min doc_id per identical text.
+- ngram_jaccard_pairs: shingle -> explode -> self-join on shingle ->
+  |∩| from match count, |∪| from set sizes (inclusion-exclusion).
+- minhash_signatures / minhash_lsh_pairs: k permutations via seeded portable
+  hash, banding -> bucket self-join -> candidate pairs (the scale path: the
+  shingle self-join above is quadratic on hot shingles; LSH bounds work to
+  band-bucket collisions).
+- simhash64: 64-bit simhash from token hashes, via bit-position explode +
+  weighted majority (pure SQL algebra, oracle-checkable).
+
+Scale notes: shingle/bucket joins shuffle on the shingle/bucket hash — a
+well-distributed key by construction; hot shingles (boilerplate n-grams)
+are the skew risk, bounded by dropping shingles with document frequency
+above ``max_shingle_df`` (standard practice: a shingle in >X% of docs
+carries no dedup signal anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def portable_hash64(col, seed: int = 0):
+    """Deterministic cross-engine 60-bit hash: first 15 hex chars of
+    md5(seed || value) as bigint. DuckDB equivalent:
+    CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), '|', v)),1,15)) AS BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed)), F.lit("|"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate clusters: (text-hash, canonical doc_id, cluster size).
+
+    groupBy on the 128-bit md5 (collision-safe enough at 10^12 docs for
+    *candidate* selection; equality on full text would need one more join —
+    omitted by design and documented)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("cluster_size"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams. Native: split + index
+    sequence + transform + explode — no Python."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .filter(F.size(F.split(F.col("shingle"), " ")) == n)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|); the intersection comes from the
+    shingle self-join match count, set sizes from a per-doc count — no
+    arrays ever materialize per pair.
+    """
+    sh = shingles(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — sig[i] = min over shingles of
+    portable_hash64(shingle, seed=i). One shuffle (groupBy doc)."""
+    sh = shingles(docs, id_col, text_col, n)
+    mins = [
+        F.min(portable_hash64(F.col("shingle"), seed=i)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidates: split the signature into ``bands`` bands of
+    num_hashes/bands rows; docs colliding on any full band are candidates.
+    Returns distinct (a_id, b_id). Scale path for near-dedup: work is
+    proportional to bucket collisions, not doc pairs."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col("doc_id").alias("a_id"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash bigint): bit b of the hash is 1 iff the majority of
+    the doc's distinct tokens have bit b set in their portable hash.
+
+    Implemented as token explode -> per-(doc, bit) vote -> bit reassembly via
+    sum of 2^b — pure aggregations, two shuffles, no Python. Note: uses the
+    60-bit portable hash (bits 0..59) so the DuckDB oracle matches exactly.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.select("doc_id", portable_hash64(F.col("tok")).alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        # vote +1 if bit set else -1 (column-valued shift needs expr form)
+        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

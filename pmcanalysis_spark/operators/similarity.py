@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force all-pairs cosine + per-query top-k. The dot
+  product is native Column algebra (``aggregate`` over ``zip_with``) so the
+  whole plan stays in the JVM; the baseline for correctness.
+- lsh_bucketed_topk: random-hyperplane LSH (sign of dot with deterministic
+  pseudo-random planes) buckets vectors; candidates only join within a
+  bucket — the scale path (work ∝ bucket collisions, not n^2).
+
+Scale notes: brute force is O(n*q) pair evaluations — fine for reranking a
+candidate set, unusable at corpus scale; the LSH variant bounds candidates.
+Hyperplanes derive from a hash of (plane index, dimension index), so both
+Spark and any oracle can regenerate them bit-for-bit without a stored model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k. ``queries`` defaults to the corpus itself
+    (all-pairs self-search, excluding self-matches).
+
+    Plan shape: broadcast the (small) query side if it fits, cross-join the
+    corpus, JVM-side dot products, then a row_number window on query_id —
+    TakeOrderedAndProject keeps only k rows per query past the window."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).cast("array<double>").alias("item_vec"),
+    )
+    qs = (queries or embeddings).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+    )
+    pairs = qs.crossJoin(corpus).filter(F.col("query_id") != F.col("item_id"))
+    scored = pairs.select(
+        "query_id",
+        "item_id",
+        (
+            _dot(F.col("query_vec"), F.col("item_vec"))
+            / (_norm(F.col("query_vec")) * _norm(F.col("item_vec")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )
+
+
+def _plane_component(plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    derived from a portable md5 hash of (plane, dim)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(plane), F.lit(dim))), 1, 8), 16, 10
+    ).cast("double")
+    return h / F.lit(float(1 << 32)) - 0.5
+
+
+def lsh_bucket(vec_col, dim: int, num_planes: int = 8):
+    """Bucket id = bit pattern of sign(v . plane_p) for p in 0..num_planes-1."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        comp = [F.col(vec_col)[d] * _plane_component(p, d) for d in range(dim)]
+        dot = comp[0]
+        for c in comp[1:]:
+            dot = dot + c
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """ANN: candidates share a hyperplane-sign bucket; exact cosine + top-k
+    within candidates. Recall < 1 by design; union multiple plane sets for
+    higher recall (standard multi-probe trade-off)."""
+    with_bucket = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("bucket", lsh_bucket("vec", dim, num_planes))
+    a = with_bucket.select(
+        F.col("id").alias("query_id"), F.col("vec").alias("query_vec"), "bucket"
+    )
+    b = with_bucket.select(
+        F.col("id").alias("item_id"), F.col("vec").alias("item_vec"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("query_id") != F.col("item_id"))
+    scored = pairs.select(
+        "query_id",
+        "item_id",
+        (
+            _dot(F.col("query_vec"), F.col("item_vec"))
+            / (_norm(F.col("query_vec")) * _norm(F.col("item_vec")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )

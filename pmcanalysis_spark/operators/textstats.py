@@ -1,0 +1,119 @@
+"""Text analysis operators for training-data pipelines.
+
+All native Column algebra (oracle-checkable in DuckDB, zero Python):
+
+- token_count: whitespace tokens + a BPE-ish sub-token estimate.
+- quality_score: length / punctuation / stopword-ratio heuristics.
+- lang_id: stopword-overlap n-gram heuristic over a small built-in
+  profile per language (deterministic; not a model).
+- doc_fingerprint: order-sensitive rolling hash of the token stream
+  (position-salted portable hashes combined with bitwise XOR — unlike the
+  unordered minhash, permuted texts get different fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash64
+
+# tiny deterministic stopword profiles (heuristic language ID)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "para", "en", "que"),
+}
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_subtokens): whitespace tokens plus a BPE-ish
+    estimate = ceil(chars/4) per token summed (the usual ~4 chars/token
+    rule of thumb), both as pure column math."""
+    toks = F.split(F.col(text_col), " ")
+    nonempty = F.filter(toks, lambda t: t != "")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(nonempty).alias("n_tokens"),
+        F.aggregate(
+            nonempty,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+        ).alias("n_subtokens"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+    stopword_ratio, quality): heuristic in [0,1] — longer docs with
+    plausible token lengths and some stopwords score higher. Deterministic
+    column math; thresholds are engineering choices, not learned."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    en_stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    quality = (
+        F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.3).otherwise(0.0)
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
+        + F.when(punct_ratio <= 0.1, 0.1).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, lang_score): argmax over per-language stopword
+    hit counts; 'und' (undetermined) when no profile hits. Deterministic
+    tie-break by language code order."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    langs = sorted(LANG_PROFILES)
+    hit_cols = {}
+    for lang in langs:
+        prof = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+        hit_cols[lang] = F.size(F.filter(toks, lambda t: F.array_contains(prof, t)))
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # alphabetical priority on ties — same CASE order as oracle
+        pred = pred.when(hit_cols[lang] == best, F.lit(lang))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("pred_lang"),
+        best.cast("long").alias("lang_score"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint): order-sensitive 60-bit rolling fingerprint.
+
+    fingerprint = XOR over tokens of hash(position || token) — permutation
+    of tokens changes the fingerprint (unlike bag-of-words hashes). Pure
+    fold via ``aggregate``; bit-identical in DuckDB via list_reduce.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    indexed = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+        lambda t, i: F.concat(i.cast("string"), F.lit("@"), t),
+    )
+    fp = F.aggregate(
+        indexed,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc.bitwiseXOR(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        ),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))

@@ -1,0 +1,42 @@
+from __future__ import annotations
+
+import math
+
+from pmcanalysis_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0, 0.0]),   # closest to 1
+    (3, [0.0, 1.0, 0.0, 0.0]),
+    (4, [0.0, 0.95, 0.05, 0.0]),  # closest to 3
+    (5, [-1.0, 0.0, 0.0, 0.0]),   # anti-parallel to 1
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_nearest(spark):
+    out = cosine_topk(_emb(spark), k=1).collect()
+    nearest = {r.query_id: r.item_id for r in out}
+    assert nearest[1] == 2 and nearest[2] == 1
+    assert nearest[3] == 4 and nearest[4] == 3
+
+
+def test_cosine_value_exact(spark):
+    out = cosine_topk(_emb(spark), k=4).collect()
+    c15 = [r.cosine for r in out if r.query_id == 1 and r.item_id == 5][0]
+    assert math.isclose(c15, -1.0)
+
+
+def test_lsh_buckets_parallel_vectors_together(spark):
+    out = lsh_bucketed_topk(_emb(spark), dim=4, num_planes=4, k=3).collect()
+    # identical-direction vectors always share every hyperplane sign
+    pairs = {(r.query_id, r.item_id) for r in out}
+    assert (1, 2) in pairs or (2, 1) in pairs
+    # recall may be <1 for others; but results must be a subset of brute force order
+    brute = cosine_topk(_emb(spark), k=4)
+    bvals = {(r.query_id, r.item_id): r.cosine for r in brute.collect()}
+    for r in out:
+        assert math.isclose(bvals[(r.query_id, r.item_id)], r.cosine, rel_tol=1e-9)

@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+from pmcanalysis_spark.operators.textstats import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "a bb ccc dddd eeeee")], "doc_id long, text string")
+    r = token_count(df).first()
+    assert r.n_tokens == 5
+    # ceil(1/4)+ceil(2/4)+ceil(3/4)+ceil(4/4)+ceil(5/4) = 1+1+1+1+2
+    assert r.n_subtokens == 6
+
+
+def test_lang_id_english_vs_german(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the house in a boat"),
+            (2, "der hund und die katze ist nicht mit der maus"),
+            (3, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is a fine day for all of us"),
+         (2, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in quality_score(df).collect()}
+    assert 0.0 <= out[2].quality < out[1].quality <= 1.0
+    assert out[1].stopword_ratio > 0
+
+
+def test_fingerprint_order_sensitive_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
+    assert out[1] == out[3]
+    assert out[1] != out[2]
