@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG query at sf0.001. ``queries()`` /
+``oracle_sql()`` register one pair per implemented operator from
+SURVEY.md §2 plus the training-data-pipeline operators; the driver runs both
+sides at sf=0.01 and compares row-count + schema + order-insensitive
+value-hash.
+
+Design notes:
+- The KG queries run over the driver's ``documents`` table with an *inline*
+  word lexicon / hierarchy (single source of truth: the ``LEX`` / ``HIER``
+  constants below generate both the Spark DataFrame and the SQL VALUES
+  clause), standing in for the ontology dims of the real pipeline.
+- All float outputs are rounded to 6 decimals on BOTH sides so libm-vs-JVM
+  1-ulp differences can't break the value hash; all aggregation chains use
+  identical fold orders.
+- Every aggregate/computed column is aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +22,719 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# inline dims: single source of truth for Spark and DuckDB
+# ---------------------------------------------------------------------------
+
+# word -> term id; families: OP (subject side, "DOID"-like) / DS (object side)
+LEX: list[tuple[str, str]] = [
+    ("scan", "OP:0000001"),
+    ("join", "OP:0000002"),
+    ("sort", "OP:0000003"),
+    ("merge", "OP:0000004"),
+    ("hash", "OP:0000005"),
+    ("filter", "OP:0000006"),
+    ("agg", "OP:0000007"),
+    ("group", "OP:0000008"),
+    ("spark", "OP:0000009"),  # ambiguous name: two ids (J1 multimap)
+    ("table", "DS:0000001"),
+    ("window", "DS:0000002"),
+    ("stream", "DS:0000003"),
+    ("batch", "DS:0000004"),
+    ("query", "DS:0000005"),
+    ("row", "DS:0000006"),
+    ("column", "DS:0000007"),
+    ("vector", "DS:0000008"),
+    ("spark", "DS:0000009"),
+]
+
+# transitive-closure hierarchy rows (term_id, ancestor_id)
+HIER: list[tuple[str, str]] = (
+    [(f"OP:000000{i}", "OP:0000000") for i in range(1, 10)]
+    + [(f"DS:000000{i}", "DS:0000000") for i in range(1, 10)]
+    + [("OP:0000001", "OP:0000010"), ("OP:0000002", "OP:0000010"),
+       ("OP:0000010", "OP:0000000"),
+       ("DS:0000001", "DS:0000010"), ("DS:0000002", "DS:0000010"),
+       ("DS:0000010", "DS:0000000")]
+)
+
+
+def _lex_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(LEX, "name string, term_id string")
+
+
+def _hier_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(HIER, "term_id string, ancestor_id string")
+
+
+def _lex_values() -> str:
+    return ", ".join(f"('{n}', '{t}')" for n, t in LEX)
+
+
+def _hier_values() -> str:
+    return ", ".join(f"('{t}', '{a}')" for t, a in HIER)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct (doc_id, term_id) via word-grain dictionary match (J1:
+    broadcast hash join of exploded tokens against the tiny lexicon)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.join(F.broadcast(_lex_df(spark)), toks.tok == F.col("name"))
+        .select("doc_id", "term_id")
+        .distinct()
+    )
+
+
+_MENTIONS_SQL = f"""
+  WITH lex(name, term_id) AS (VALUES {_lex_values()}),
+  toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ),
+  mentions AS (
+    SELECT DISTINCT toks.doc_id, lex.term_id
+    FROM toks JOIN lex ON lex.name = toks.tok AND toks.tok <> ''
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# KG-core queries (SURVEY.md §2: J1/J3/J4/J5, A1-A3/A6, F1-F5, P2-P7, W1-W6)
+# ---------------------------------------------------------------------------
+
+def q_kg_mentions_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-term document frequency."""
+    return (
+        _mentions(spark, sf_dir)
+        .groupBy("term_id")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+
+
+def q_kg_corpus_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: distinct docs mentioning any term."""
+    return _mentions(spark, sf_dir).agg(
+        F.countDistinct("doc_id").alias("corpus_size")
+    )
+
+
+def q_kg_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5/A2: OP x DS co-occurrence self-join on doc_id."""
+    m = _mentions(spark, sf_dir)
+    a = m.filter(F.col("term_id").startswith("OP:")).select(
+        F.col("term_id").alias("a_id"), "doc_id"
+    )
+    b = m.filter(F.col("term_id").startswith("DS:")).select(
+        F.col("term_id").alias("b_id"), "doc_id"
+    )
+    return a.join(b, "doc_id").groupBy("a_id", "b_id").agg(F.count("*").alias("nab"))
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmcanalysis_spark.operators.cooccur import pair_counts, scored_pairs, term_stats
+
+    m = _mentions(spark, sf_dir).select("term_id", "doc_id")
+    total = m.select("doc_id").distinct().count()
+    stats = term_stats(m)
+    pairs = pair_counts(m, a_prefix="OP:", b_prefix="DS:")
+    return scored_pairs(pairs, stats, total, pred="co-occurs-with", round_to=6)
+
+
+def q_kg_triples_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (F1-F5 over J4): five corpus-statistics scores per pair."""
+    return _kg_triples(spark, sf_dir)
+
+
+_TRIPLES_SQL_BODY = """
+  stats AS (
+    SELECT term_id, COUNT(DISTINCT doc_id) AS n FROM mentions GROUP BY term_id
+  ),
+  total AS (SELECT COUNT(DISTINCT doc_id) AS t FROM mentions),
+  pairs AS (
+    SELECT a.term_id AS a_id, b.term_id AS b_id, COUNT(*) AS nab
+    FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+    WHERE a.term_id LIKE 'OP:%' AND b.term_id LIKE 'DS:%'
+    GROUP BY 1, 2
+  ),
+  scored AS (
+    SELECT
+      p.a_id AS subj, 'co-occurs-with' AS pred, p.b_id AS obj,
+      CAST(p.nab AS DOUBLE) AS xy, CAST(sa.n AS DOUBLE) AS x,
+      CAST(sb.n AS DOUBLE) AS y, CAST(total.t AS DOUBLE) AS tt,
+      p.nab AS nab, sa.n AS na, sb.n AS nb
+    FROM pairs p
+    JOIN stats sa ON sa.term_id = p.a_id
+    JOIN stats sb ON sb.term_id = p.b_id
+    CROSS JOIN total
+  )
+  SELECT subj, pred, obj,
+    ROUND((xy - x*y/(tt*tt)) / sqrt(xy), 6) AS tscore,
+    ROUND((xy - x*y/(tt*tt)) / sqrt(x*y/(tt*tt)), 6) AS zscore,
+    ROUND(xy * ln(tt*xy/(x*y)), 6) AS lmi,
+    ROUND(ln((xy/tt)/((x/tt)*(y/tt))) / (-1 * (CASE WHEN xy/tt > 0 AND xy/tt <> 1 THEN ln(xy/tt) END)), 6) AS npmi,
+    ROUND(CASE WHEN xy < x*y/tt THEN -2 * (CASE WHEN lam > 0 THEN ln(lam) END)
+               ELSE 2 * (CASE WHEN lam > 0 THEN ln(lam) END) END, 6) AS lgl,
+    nab, na, nb
+  FROM (
+    SELECT *,
+      tt*ln(tt) - x*ln(x) - y*ln(y) + xy*ln(xy)
+      + (CASE WHEN tt-x-y+xy > 0 THEN (tt-x-y+xy)*ln(tt-x-y+xy) WHEN tt-x-y+xy = 0 THEN NULL END)
+      + (CASE WHEN x-xy > 0 THEN (x-xy)*ln(x-xy) WHEN x-xy = 0 THEN NULL END)
+      + (CASE WHEN y-xy > 0 THEN (y-xy)*ln(y-xy) WHEN y-xy = 0 THEN NULL END)
+      - (CASE WHEN tt-x > 0 THEN (tt-x)*ln(tt-x) WHEN tt-x = 0 THEN NULL END)
+      - (CASE WHEN tt-y > 0 THEN (tt-y)*ln(tt-y) WHEN tt-y = 0 THEN NULL END) AS lam
+    FROM scored
+  )
+"""
+
+
+def q_kg_closure_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/U2: doc frequency after subclass-closure set union."""
+    from pmcanalysis_spark.operators.cooccur import close_over_hierarchy
+
+    m = _mentions(spark, sf_dir).select("term_id", "doc_id")
+    closed = close_over_hierarchy(m, _hier_df(spark))
+    return closed.groupBy("term_id").agg(F.countDistinct("doc_id").alias("df"))
+
+
+def q_kg_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: ancestor count roll-up (sum of descendant doc-freqs + own)."""
+    m = _mentions(spark, sf_dir)
+    base = m.groupBy("term_id").agg(F.countDistinct("doc_id").alias("cnt"))
+    inherited = (
+        base.join(F.broadcast(_hier_df(spark)), "term_id")
+        .groupBy(F.col("ancestor_id").alias("term_id"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return (
+        base.unionByName(inherited)
+        .groupBy("term_id")
+        .agg(F.sum("cnt").alias("rolled"))
+    )
+
+
+def q_kg_leaf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: terms that are nobody's ancestor (leaf-only dictionary filter)."""
+    lex = _lex_df(spark).select("term_id").distinct()
+    parents = _hier_df(spark).select(F.col("ancestor_id").alias("term_id")).distinct()
+    return lex.join(parents, "term_id", "left_anti")
+
+
+def q_kg_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3: top-3 DS terms per OP term by co-occurrence count."""
+    from pmcanalysis_spark.operators.ranking import topk_per_key
+
+    return topk_per_key(
+        q_kg_pair_counts(spark, sf_dir), "a_id", "nab", 3, tiebreak="b_id"
+    )
+
+
+def q_kg_normalized_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: per-key normalized rank < 0.5."""
+    from pmcanalysis_spark.operators.ranking import normalized_rank
+
+    return normalized_rank(
+        q_kg_pair_counts(spark, sf_dir), "a_id", "nab", 0.5, tiebreak="b_id"
+    ).withColumn("nrank", F.round("nrank", 6))
+
+
+def q_kg_npmi_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: keep pairs with 0.001 <= npmi <= 1 (band filter)."""
+    t = _kg_triples(spark, sf_dir)
+    return t.filter(F.col("npmi").between(0.001, 1.0)).select("subj", "obj", "npmi")
+
+
+def q_kg_min_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: pairs with nab >= 10."""
+    return q_kg_pair_counts(spark, sf_dir).filter(F.col("nab") >= 10)
+
+
+def q_kg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W6: lag-window trapezoid over a deterministic curve."""
+    from pmcanalysis_spark.operators.ranking import trapezoid_auc
+
+    li = _t(spark, sf_dir, "lineitem")
+    curve = li.groupBy("l_linenumber").agg(
+        F.round(F.avg("l_quantity"), 6).alias("y")
+    ).select(F.col("l_linenumber").cast("double").alias("x"), "y")
+    return trapezoid_auc(curve).select(F.round("auc", 6).alias("auc"))
+
+
+def q_kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: connected components by iterative min-label propagation over a
+    deterministic doc-chain edge set (doc i -- i+1 when i%10 in 0..2)."""
+    from pmcanalysis_spark.canonicalize import connected_components
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = (
+        docs.filter((F.col("doc_id") % 10) < 3)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+        .join(docs.select(F.col("doc_id").alias("dst")), "dst", "left_semi")
+    )
+    verts = docs.select(F.col("doc_id").alias("id"))
+    return connected_components(edges, vertices=verts)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def q_dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmcanalysis_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmcanalysis_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+
+
+def q_dd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmcanalysis_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
+    return sig.select("doc_id", F.posexplode("sig").alias("hash_idx", "minhash"))
+
+
+def q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmcanalysis_spark.operators.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_ts_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmcanalysis_spark.operators.textstats import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+def q_ts_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmcanalysis_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_ts_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmcanalysis_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_ts_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmcanalysis_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmcanalysis_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # bounded query set (vec_id < 200): keeps the oracle compare O(q*n)
+    out = cosine_topk(emb, queries=emb.filter(F.col("vec_id") < 200), k=3)
+    return out.select("query_id", "item_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# general relational coverage (scan/filter/join/agg/window over the star schema)
+# ---------------------------------------------------------------------------
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        )
+    )
+
+
+def q_ev_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+    )
+
+
+def q_ev_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmcanalysis_spark.operators.ranking import topk_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("total"))
+    ranked = topk_per_key(
+        per_user.withColumn("_g", F.lit(1)), "_g", "total", 5, tiebreak="user_id"
+    )
+    return ranked.select("user_id", "total", "rank")
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_kg_triples_scored(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_mentions_docfreq": q_kg_mentions_docfreq,
+        "kg_corpus_size": q_kg_corpus_size,
+        "kg_pair_counts": q_kg_pair_counts,
+        "kg_triples_scored": q_kg_triples_scored,
+        "kg_closure_docfreq": q_kg_closure_docfreq,
+        "kg_hierarchy_rollup": q_kg_hierarchy_rollup,
+        "kg_leaf_terms": q_kg_leaf_terms,
+        "kg_topk_pairs": q_kg_topk_pairs,
+        "kg_normalized_rank": q_kg_normalized_rank,
+        "kg_npmi_band": q_kg_npmi_band,
+        "kg_min_cooc": q_kg_min_cooc,
+        "kg_auc": q_kg_auc,
+        "kg_connected_components": q_kg_connected_components,
+        "dd_exact_dedup": q_dd_exact_dedup,
+        "dd_ngram_jaccard": q_dd_ngram_jaccard,
+        "dd_minhash": q_dd_minhash,
+        "dd_simhash": q_dd_simhash,
+        "ts_token_count": q_ts_token_count,
+        "ts_quality": q_ts_quality,
+        "ts_lang_id": q_ts_lang_id,
+        "ts_fingerprint": q_ts_fingerprint,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_join_agg": q_tpch_join_agg,
+        "ev_daily_counts": q_ev_daily_counts,
+        "ev_topk_users": q_ev_topk_users,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    pair_counts_sql = """
+      SELECT a.term_id AS a_id, b.term_id AS b_id, COUNT(*) AS nab
+      FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+      WHERE a.term_id LIKE 'OP:%' AND b.term_id LIKE 'DS:%'
+      GROUP BY 1, 2
     """
-    return {}
+    return {
+        "kg_mentions_docfreq": _MENTIONS_SQL
+        + "SELECT term_id, COUNT(DISTINCT doc_id) AS df FROM mentions GROUP BY term_id",
+        "kg_corpus_size": _MENTIONS_SQL
+        + "SELECT COUNT(DISTINCT doc_id) AS corpus_size FROM mentions",
+        "kg_pair_counts": _MENTIONS_SQL + pair_counts_sql,
+        "kg_triples_scored": _MENTIONS_SQL + "," + _TRIPLES_SQL_BODY,
+        "kg_closure_docfreq": _MENTIONS_SQL
+        + f""",
+          hier(term_id, ancestor_id) AS (VALUES {_hier_values()}),
+          closed AS (
+            SELECT term_id, doc_id FROM mentions
+            UNION
+            SELECT h.ancestor_id AS term_id, m.doc_id
+            FROM mentions m JOIN hier h ON h.term_id = m.term_id
+          )
+          SELECT term_id, COUNT(DISTINCT doc_id) AS df FROM closed GROUP BY term_id
+        """,
+        "kg_hierarchy_rollup": _MENTIONS_SQL
+        + f""",
+          hier(term_id, ancestor_id) AS (VALUES {_hier_values()}),
+          base AS (
+            SELECT term_id, COUNT(DISTINCT doc_id) AS cnt FROM mentions GROUP BY term_id
+          ),
+          inherited AS (
+            SELECT h.ancestor_id AS term_id, CAST(SUM(b.cnt) AS BIGINT) AS cnt
+            FROM base b JOIN hier h ON h.term_id = b.term_id GROUP BY 1
+          )
+          SELECT term_id, CAST(SUM(cnt) AS BIGINT) AS rolled
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM inherited)
+          GROUP BY term_id
+        """,
+        "kg_leaf_terms": f"""
+          WITH lex(name, term_id) AS (VALUES {_lex_values()}),
+          hier(term_id, ancestor_id) AS (VALUES {_hier_values()})
+          SELECT DISTINCT term_id FROM lex
+          WHERE term_id NOT IN (SELECT ancestor_id FROM hier)
+        """,
+        "kg_topk_pairs": _MENTIONS_SQL
+        + f""", pc AS ({pair_counts_sql})
+          SELECT a_id, b_id, nab, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY nab DESC, b_id ASC) AS INT) AS rank
+            FROM pc
+          ) WHERE rank <= 3
+        """,
+        "kg_normalized_rank": _MENTIONS_SQL
+        + f""", pc AS ({pair_counts_sql})
+          SELECT a_id, b_id, nab, nrank FROM (
+            SELECT *,
+              ROUND(CAST(ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY nab DESC, b_id ASC) - 1 AS DOUBLE)
+                    / COUNT(*) OVER (PARTITION BY a_id), 6) AS nrank
+            FROM pc
+          ) WHERE nrank < 0.5
+        """,
+        "kg_npmi_band": _MENTIONS_SQL
+        + ","
+        + _TRIPLES_SQL_BODY.replace(
+            "SELECT subj, pred, obj,",
+            "SELECT subj, obj, npmi FROM (SELECT subj, pred, obj,",
+        )
+        + ") WHERE npmi BETWEEN 0.001 AND 1.0",
+        "kg_min_cooc": _MENTIONS_SQL + pair_counts_sql + " HAVING COUNT(*) >= 10",
+        "kg_auc": """
+          WITH curve AS (
+            SELECT CAST(l_linenumber AS DOUBLE) AS x, ROUND(AVG(l_quantity), 6) AS y
+            FROM lineitem GROUP BY l_linenumber
+          ),
+          lagged AS (
+            SELECT x, y, LAG(x) OVER (ORDER BY x) AS px, LAG(y) OVER (ORDER BY x) AS py
+            FROM curve
+          )
+          SELECT ROUND(CAST(SUM(CASE WHEN px IS NOT NULL THEN (x - px) * (y + py) / 2.0 ELSE 0.0 END) AS DOUBLE), 6) AS auc
+          FROM lagged
+        """,
+        "kg_connected_components": """
+          WITH RECURSIVE edges AS (
+            SELECT d.doc_id AS src, d.doc_id + 1 AS dst
+            FROM documents d
+            WHERE d.doc_id % 10 < 3
+              AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)
+          ),
+          sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+          )
+          SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        """,
+        "dd_exact_dedup": """
+          SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
+                 COUNT(*) AS cluster_size
+          FROM documents GROUP BY md5(text)
+        """,
+        "dd_ngram_jaccard": """
+          WITH sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+              SELECT doc_id,
+                array_to_string(toks[i : i + 2], ' ') AS shingle
+              FROM (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 2)) AS i
+                FROM documents
+              )
+              WHERE i + 2 <= len(toks)
+            )
+          ),
+          sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          )
+          SELECT a_id, b_id,
+                 ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """,
+        "dd_minhash": """
+          WITH sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+              SELECT doc_id,
+                array_to_string(toks[i : i + 2], ' ') AS shingle
+              FROM (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 2)) AS i
+                FROM documents
+              )
+              WHERE i + 2 <= len(toks)
+            )
+          )
+          SELECT doc_id, CAST(seed AS INT) AS hash_idx,
+                 MIN(CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), '|', shingle)), 1, 15)) AS BIGINT)) AS minhash
+          FROM sh CROSS JOIN range(8) AS t(seed)
+          GROUP BY doc_id, seed
+        """,
+        "dd_simhash": """
+          WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            ) WHERE tok <> ''
+          ),
+          hashed AS (
+            SELECT doc_id,
+              CAST(concat('0x', substr(md5(concat('0', '|', tok)), 1, 15)) AS BIGINT) AS h
+            FROM toks
+          ),
+          votes AS (
+            SELECT doc_id, CAST(bit AS INT) AS bit,
+                   CAST(SUM(((h >> CAST(bit AS INT)) & 1) * 2 - 1) AS BIGINT) AS v
+            FROM hashed CROSS JOIN range(60) AS t(bit)
+            GROUP BY doc_id, bit
+          )
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id
+        """,
+        "ts_token_count": """
+          SELECT doc_id,
+            len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+            CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                 t -> (length(t) + 3) // 4)) AS BIGINT) AS n_subtokens
+          FROM documents
+        """,
+        "ts_quality": _QUALITY_SQL,
+        "ts_lang_id": _LANG_ID_SQL,
+        "ts_fingerprint": """
+          SELECT doc_id,
+            list_reduce(
+              list_transform(range(1, len(toks) + 1),
+                i -> CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), '@', toks[i])), 1, 15)) AS BIGINT)),
+              (a, b) -> xor(a, b)) AS fingerprint
+          FROM (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+          )
+        """,
+        "sim_cosine_topk": """
+          WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+          ),
+          pairs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+              list_dot_product(a.vec, b.vec)
+              / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 200
+          )
+          SELECT query_id, item_id, ROUND(cosine, 6) AS cosine, rank FROM (
+            SELECT query_id, item_id, cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS INT) AS rank
+            FROM pairs
+          ) WHERE rank <= 3
+        """,
+        "tpch_pricing_summary": """
+          SELECT l_returnflag, l_linestatus,
+            ROUND(SUM(l_quantity), 6) AS sum_qty,
+            ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+            ROUND(AVG(l_quantity), 6) AS avg_qty,
+            COUNT(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= DATE '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_join_agg": """
+          SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 6) AS revenue
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        """,
+        "ev_daily_counts": """
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+                 ROUND(SUM(value), 6) AS total_value
+          FROM events GROUP BY 1, 2
+        """,
+        "ev_topk_users": """
+          SELECT user_id, total, rank FROM (
+            SELECT user_id, total,
+              CAST(ROW_NUMBER() OVER (ORDER BY total DESC, user_id ASC) AS INT) AS rank
+            FROM (SELECT user_id, ROUND(SUM(value), 6) AS total FROM events GROUP BY user_id)
+          ) WHERE rank <= 5
+        """,
+    }
+
+
+_QUALITY_SQL = """
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(toks) AS n_tokens,
+    ROUND(CASE WHEN len(toks) > 0 THEN CAST(length(text) AS DOUBLE) / len(toks) ELSE 0.0 END, 6) AS mean_token_len,
+    ROUND(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+    ROUND(CASE WHEN len(toks) > 0 THEN CAST(n_stop AS DOUBLE) / len(toks) ELSE 0.0 END, 6) AS stopword_ratio,
+    ROUND(
+      least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+      + CASE WHEN len(toks) > 0 AND CAST(length(text) AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+      + least((CASE WHEN len(toks) > 0 THEN CAST(n_stop AS DOUBLE) / len(toks) ELSE 0.0 END) * 5.0, 1.0) * 0.2
+      + CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) <= 0.1 THEN 0.1 ELSE 0.0 END
+    , 6) AS quality
+  FROM (
+    SELECT doc_id, text,
+      list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+      len(list_filter(string_split(text, ' '),
+          t -> t <> '' AND list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS n_stop
+    FROM documents
+  )
+"""
+
+_LANG_PROFILE_SQL = {
+    "de": "['der','die','das','und','ist','nicht','ein','mit','für','auf']",
+    "en": "['the','and','of','to','a','in','is','it','that','for']",
+    "es": "['el','la','los','y','es','un','una','para','en','que']",
+    "fr": "['le','la','les','et','est','un','une','pour','dans','que']",
+}
+
+_LANG_ID_SQL = f"""
+  SELECT doc_id,
+    CASE WHEN best <= 0 THEN 'und'
+         WHEN h_de = best THEN 'de'
+         WHEN h_en = best THEN 'en'
+         WHEN h_es = best THEN 'es'
+         WHEN h_fr = best THEN 'fr'
+    END AS pred_lang,
+    CAST(best AS BIGINT) AS lang_score
+  FROM (
+    SELECT doc_id, h_de, h_en, h_es, h_fr,
+           greatest(h_de, h_en, h_es, h_fr) AS best
+    FROM (
+      SELECT doc_id,
+        len(list_filter(toks, t -> list_contains({_LANG_PROFILE_SQL['de']}, t))) AS h_de,
+        len(list_filter(toks, t -> list_contains({_LANG_PROFILE_SQL['en']}, t))) AS h_en,
+        len(list_filter(toks, t -> list_contains({_LANG_PROFILE_SQL['es']}, t))) AS h_es,
+        len(list_filter(toks, t -> list_contains({_LANG_PROFILE_SQL['fr']}, t))) AS h_fr
+      FROM (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+      )
+    )
+  )
+"""

@@ -116,14 +116,18 @@ def _page_lang(i: int) -> str:
     return "en"
 
 
-def build_sentences_for_page(i: int, lexicon: list[LexiconEntry]) -> list[str]:
-    """3-8 sentences; sentence j plants mention names on a fixed schedule.
+def build_sentences_for_page(
+    i: int, lexicon: list[LexiconEntry], nsent: int | None = None
+) -> list[str]:
+    """3-8 sentences (or ``nsent``); sentence j plants mention names on a
+    fixed schedule.
 
     Planted names are separated by >=1 filler word so adjacent plants can
     never merge into a longer lexicon phrase accidentally.
     """
     plantable = [e.name for e in lexicon]
-    nsent = 3 + (i * 7 + 3) % 6
+    if nsent is None:
+        nsent = 3 + (i * 7 + 3) % 6
     sentences = []
     for j in range(nsent):
         words: list[str] = []
@@ -143,26 +147,50 @@ def build_sentences_for_page(i: int, lexicon: list[LexiconEntry]) -> list[str]:
 def build_web_pages(n_pages: int = 200) -> list[dict]:
     """FIXTURES.md §1: html with boilerplate, text = expected extraction."""
     lex = build_lexicon()
-    rows = []
-    for i in range(n_pages):
-        sents = build_sentences_for_page(i, lex)
-        paras = "".join(f"<p>{s}.</p>" for s in sents)
-        html = (
-            f"<html><head><title>T{i}</title><script>junk()</script></head>"
-            f"<body><nav>boilerplate nav</nav>{paras}"
-            f"<footer>boilerplate footer</footer></body></html>"
-        )
-        text = " ".join(f"{s}." for s in sents).lower()
-        rows.append(
-            {
-                "url": f"https://example.org/page/{i:08d}",
-                "warc_ts": EPOCH + _dt.timedelta(seconds=i * 137),
-                "html": html.encode("utf-8"),
-                "text": text,
-                "lang": _page_lang(i),
-            }
-        )
-    return rows
+    return [_page_row(i, lex) for i in range(n_pages)]
+
+
+def _page_row(i: int, lex: list[LexiconEntry], nsent: int | None = None) -> dict:
+    sents = build_sentences_for_page(i, lex, nsent)
+    paras = "".join(f"<p>{s}.</p>" for s in sents)
+    html = (
+        f"<html><head><title>T{i}</title><script>junk()</script></head>"
+        f"<body><nav>boilerplate nav</nav>{paras}"
+        f"<footer>boilerplate footer</footer></body></html>"
+    )
+    return {
+        "url": f"https://example.org/page/{i:08d}",
+        "warc_ts": EPOCH + _dt.timedelta(seconds=i * 137),
+        "html": html.encode("utf-8"),
+        "text": " ".join(f"{s}." for s in sents).lower(),
+        "lang": _page_lang(i),
+    }
+
+
+def bench_pages_df(spark, n_pages: int, sentences_per_page: int = 120, partitions: int = 64):
+    """Distributed deterministic bench corpus (web-realistic page sizes).
+
+    Generated on executors via mapInPandas from spark.range — the driver
+    never materializes the corpus, so bench scale is bounded by cluster
+    memory, not the driver. Same schedule arithmetic as build_web_pages, so
+    still fully deterministic.
+    """
+    import pandas as pd
+
+    from .schemas import WEB_PAGES
+
+    lex = build_lexicon()
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_page_row(int(i), lex, sentences_per_page) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(n_pages)
+        .repartition(partitions)
+        .mapInPandas(gen, schema=WEB_PAGES)
+    )
 
 
 def build_author_records() -> list[dict]:

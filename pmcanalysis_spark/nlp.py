@@ -25,8 +25,9 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from .schemas import MENTIONS
+from .schemas import DOC_TERMS, MENTIONS
 
 _SENT_RE = re.compile(r"(?<=[.!?])\s+")
 _TOKEN_RE = re.compile(r"[a-z0-9_]+")
@@ -142,3 +143,70 @@ def detect_mentions(
             )
 
     return extracted.select("url", "text").mapInPandas(scan, schema=MENTIONS)
+
+
+def detect_doc_terms(
+    web_pages: DataFrame,
+    lexicon_entries: list[tuple[str, str]],
+    lang: str | None = "en",
+    min_name_len: int = MINLENGTH,
+    ancestors: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Fused hot path: html -> extract -> sentence split -> trie NER ->
+    per-doc distinct term set, in ONE mapInPandas crossing.
+
+    Rationale (measured, local[32]): chaining extract (pandas UDF) and NER
+    (mapInPandas) gives every task TWO python workers — 2x processes on the
+    same cores — plus a full sentence-grain mention table over Arrow. For
+    the *document-level* flagship (FindDiseasePhenotypes2 semantics: a doc
+    counts once per term regardless of mention count), fusing halves the
+    python-process pressure and shrinks the UDF output from O(mentions) to
+    O(distinct doc-terms) before it ever hits the JVM — the distinct's
+    map-side combine happens inside the UDF for free.
+
+    ``ancestors`` (term_id -> transitive ancestor ids, the small ontology
+    closure) pushes the subclass-closure union (SURVEY.md J3/U2) into the
+    scan itself: marking a doc with every ancestor of a matched term is
+    set-identical to unioning descendant doc-sets afterwards, and costs zero
+    extra shuffles (the DataFrame-side closure join would re-run this UDF or
+    force a cache of its output).
+
+    Output: (term_id, doc_id) — already distinct per doc.
+    """
+    from .extract import extract_text_py
+
+    sc = web_pages.sparkSession.sparkContext
+    btrie = sc.broadcast(TokenTrie.from_lexicon(lexicon_entries, min_name_len))
+    banc = sc.broadcast(ancestors or {})
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        trie = btrie.value
+        anc = banc.value
+        for pdf in batches:
+            tids, docs = [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = extract_text_py(html)
+                if not text:
+                    continue
+                seen: set[str] = set()
+                for sent in split_sentences_py(text):
+                    toks = tokenize_py(sent)
+                    for _b, _e, _name, ids in trie.find(toks):
+                        seen.update(ids)
+                if anc:
+                    for tid in list(seen):
+                        seen.update(anc.get(tid, ()))
+                for tid in seen:
+                    tids.append(tid)
+                    docs.append(url)
+            yield pd.DataFrame(
+                {
+                    "term_id": pd.Series(tids, dtype="object"),
+                    "doc_id": pd.Series(docs, dtype="object"),
+                }
+            )
+
+    df = web_pages
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    return df.select("url", "html").mapInPandas(scan, schema=DOC_TERMS)

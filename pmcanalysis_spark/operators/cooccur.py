@@ -63,6 +63,12 @@ def corpus_size(dt: DataFrame) -> int:
     return dt.select("doc_id").distinct().count()
 
 
+def corpus_size_df(dt: DataFrame) -> DataFrame:
+    """corpus_size as a 1-row DataFrame (column ``t``) for use as a
+    broadcast scalar inside the scoring job — saves one blocking job."""
+    return dt.agg(F.countDistinct("doc_id").alias("t"))
+
+
 def pair_counts(
     dt: DataFrame,
     a_prefix: str | None = None,
@@ -100,7 +106,7 @@ def pair_counts(
 def scored_pairs(
     pairs: DataFrame,
     stats: DataFrame,
-    total: int,
+    total: "int | DataFrame",
     pred: str = "associated-with",
     round_to: int | None = None,
 ) -> DataFrame:
@@ -108,6 +114,9 @@ def scored_pairs(
     (F1-F5), emitting the triples table (subj, pred, obj, scores...).
 
     ``stats`` is tiny (one row per ontology term) -> broadcast joins.
+    ``total`` may be an int (pre-computed) or a 1-row DataFrame with column
+    ``t`` — the latter folds the corpus-size aggregate into this same job as
+    a broadcast scalar instead of a separate driver-blocking count.
     All score math is JVM-side Column algebra (whole-stage codegen).
     """
     from ..functions.scores import score_columns
@@ -115,7 +124,11 @@ def scored_pairs(
     na = F.broadcast(stats.select(F.col("term_id").alias("a_id"), F.col("n").alias("na")))
     nb = F.broadcast(stats.select(F.col("term_id").alias("b_id"), F.col("n").alias("nb")))
     df = pairs.join(na, "a_id").join(nb, "b_id")
-    tot = F.lit(float(total))
+    if isinstance(total, DataFrame):
+        df = df.crossJoin(F.broadcast(total))
+        tot = F.col("t").cast("double")
+    else:
+        tot = F.lit(float(total))
     x, y, xy = F.col("na").cast("double"), F.col("nb").cast("double"), F.col("nab").cast("double")
     scores = score_columns(tot, x, y, xy)
     if round_to is not None:

@@ -47,18 +47,19 @@ def cosine_topk(
     corpus = embeddings.select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("item_vec"),
-    )
+    ).withColumn("item_norm", _norm(F.col("item_vec")))
     qs = (queries or embeddings).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("query_vec"),
-    )
+    ).withColumn("query_norm", _norm(F.col("query_vec")))
+    # norms computed once per vector (n + q folds), not per pair (3x saving)
     pairs = qs.crossJoin(corpus).filter(F.col("query_id") != F.col("item_id"))
     scored = pairs.select(
         "query_id",
         "item_id",
         (
             _dot(F.col("query_vec"), F.col("item_vec"))
-            / (_norm(F.col("query_vec")) * _norm(F.col("item_vec")))
+            / (F.col("query_norm") * F.col("item_norm"))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))

@@ -23,7 +23,7 @@ from .extract import extract_text_udf
 from .nlp import MINLENGTH, detect_mentions
 from .operators.cooccur import (
     close_over_hierarchy,
-    corpus_size,
+    corpus_size_df,
     doc_terms,
     pair_counts,
     scored_pairs,
@@ -67,30 +67,61 @@ def build_triples(
     lexicon_entries: list[tuple[str, str]],
     hierarchy: DataFrame | None = None,
     cfg: PipelineConfig | None = None,
+    sentence_grain: bool = False,
 ) -> DataFrame:
-    """The flagship query. Returns triples(subj, pred, obj, 5 scores, nab, na, nb)."""
+    """The flagship query. Returns triples(subj, pred, obj, 5 scores, nab, na, nb).
+
+    ``sentence_grain=False`` (default) takes the fused single-UDF hot path
+    (detect_doc_terms) — document-level semantics identical to the two-stage
+    extract->mentions->distinct path, half the python-process pressure.
+    Set True to route through the full mention table (provenance spans).
+    """
+    from .nlp import detect_doc_terms
+
     cfg = cfg or PipelineConfig()
-    mentions = build_mentions(web_pages, lexicon_entries, cfg)
-    dt = doc_terms(mentions)
-    if hierarchy is not None:
-        dt = close_over_hierarchy(dt, hierarchy)
-    # one NER pass feeds every downstream consumer; cache the small distinct set
+    if sentence_grain:
+        mentions = build_mentions(web_pages, lexicon_entries, cfg)
+        dt = doc_terms(mentions)
+        if hierarchy is not None:
+            # persist before the closure union: both branches reference dt
+            # and the NER scan must not run twice
+            dt = close_over_hierarchy(dt.persist(), hierarchy)
+    else:
+        # hierarchy closure folds into the scan as a per-doc ancestor
+        # expansion (the closure table is small: collect once, broadcast)
+        anc: dict[str, tuple[str, ...]] | None = None
+        if hierarchy is not None:
+            anc_map: dict[str, set[str]] = {}
+            for r in hierarchy.select("term_id", "ancestor_id").collect():
+                anc_map.setdefault(r["term_id"], set()).add(r["ancestor_id"])
+            anc = {k: tuple(sorted(v)) for k, v in anc_map.items()}
+        # already distinct: the UDF dedupes per doc and urls are unique in
+        # the input (input_hint key) — no global distinct shuffle needed
+        dt = detect_doc_terms(
+            web_pages,
+            lexicon_entries,
+            lang=cfg.lang,
+            min_name_len=cfg.min_name_len,
+            ancestors=anc,
+        )
+    # 64-bit surrogate doc keys: string urls off the shuffle path (collision
+    # probability ~n^2/2^65; at true 10^12-doc scale swap for the raw url or
+    # a 128-bit key — flagged in LINEAGE docs)
+    dt = dt.select("term_id", F.xxhash64("doc_id").alias("doc_id"))
+    # one NER pass feeds every downstream consumer (stats, both pair
+    # families, corpus size): cache the small distinct set, materialize once
     dt = dt.persist()
-    try:
-        total = corpus_size(dt)
-        stats = term_stats(dt)
-        parts = []
-        for b_prefix in cfg.b_prefixes:
-            pc = pair_counts(dt, a_prefix=cfg.a_prefix, b_prefix=b_prefix,
-                             salt_buckets=cfg.salt_buckets)
-            parts.append(pc)
-        pairs = parts[0]
-        for p in parts[1:]:
-            pairs = pairs.unionByName(p)
-        out = scored_pairs(pairs, stats, total, pred=cfg.pred)
-        # materialization boundary: caller writes; we return the plan
-        return out
-    finally:
-        # unpersist lazily is unsafe before actions; caller may re-trigger.
-        # dt stays cached for the session; small table (terms x docs distinct).
-        pass
+    dt.count()
+    total_df = corpus_size_df(dt)
+    stats = term_stats(dt)
+    parts = []
+    for b_prefix in cfg.b_prefixes:
+        pc = pair_counts(dt, a_prefix=cfg.a_prefix, b_prefix=b_prefix,
+                         salt_buckets=cfg.salt_buckets)
+        parts.append(pc)
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    # corpus size rides along as a broadcast scalar — the whole score stage
+    # is ONE job; caller materializes (write/count)
+    return scored_pairs(pairs, stats, total_df, pred=cfg.pred)
