@@ -352,6 +352,134 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "item_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_kg_doc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: sorted distinct tag set per doc (ParseMedlineForAllTags semantics),
+    emitted as a joined string so value comparison is list-order-proof."""
+    m = _mentions(spark, sf_dir)
+    return m.groupBy("doc_id").agg(
+        F.array_join(F.sort_array(F.collect_set("term_id")), ",").alias("tags")
+    )
+
+
+def q_kg_mention_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: total (non-distinct) mention count across the corpus."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.join(F.broadcast(_lex_df(spark)), toks.tok == F.col("name"))
+        .agg(F.count("*").alias("total_mentions"))
+    )
+
+
+SERVING_GROUPS: list[tuple[str, str]] = [
+    # (group_id, term_id): a doc qualifies if it matches >=1 term of EVERY group
+    ("g1", "OP:0000001"), ("g1", "OP:0000002"),
+    ("g2", "DS:0000001"), ("g2", "DS:0000002"),
+]
+
+
+def q_kg_serving_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: OWL-query-expansion serving semantics — conjunction of
+    term-disjunction boxes (DermoServlet.groovy:56-86): docs matching at
+    least one term in each of the n groups."""
+    m = _mentions(spark, sf_dir)
+    groups = spark.createDataFrame(SERVING_GROUPS, "group_id string, term_id string")
+    n_groups = len({g for g, _ in SERVING_GROUPS})
+    return (
+        m.join(F.broadcast(groups), "term_id")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("group_id").alias("n_matched"))
+        .filter(F.col("n_matched") == n_groups)
+        .select("doc_id", "n_matched")
+    )
+
+
+def q_join_left_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: left-outer enrichment with coalesce fallback (Orcid2PMID
+    semantics): every customer, order count 0 when none."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return (
+        c.join(per, c.c_custkey == per.o_custkey, "left")
+        .select("c_custkey", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"))
+    )
+
+
+def q_join_anti_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: anti-join (gold-standard eval shape): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey")
+
+
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: systematic sampling + heuristic filters (MakeTrainingSet
+    semantics): every 7th doc, dropping docs whose text contains 'dup'."""
+    d = _docs(spark, sf_dir)
+    return d.filter(
+        (F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+        & (~F.col("text").contains("dup"))
+    ).select("doc_id", "n_chars")
+
+
+def q_limit_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 parity mode: the reference truncates hit lists at top-N
+    (Lucene search cap); deterministic global top-100 by n_chars."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_f_iri_curie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: IRI<->CURIE regex rewrites round-trip over the lexicon terms."""
+    lex = _lex_df(spark).select("term_id").distinct()
+    iri = F.concat(
+        F.lit("<http://purl.obolibrary.org/obo/"),
+        F.regexp_replace(F.col("term_id"), ":", "_"),
+        F.lit(">"),
+    )
+    back = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(iri, "<http://purl\\.obolibrary\\.org/obo/", ""), ">", ""
+        ),
+        "_",
+        ":",
+    )
+    return lex.select("term_id", iri.alias("iri"), back.alias("curie"))
+
+
+# rows-only queries (no SQL oracle: python-UDF or float-order dependent)
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmcanalysis_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, dim=64, num_planes=6, k=3)
+
+
+def q_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-link scoring (north_star): rank the ambiguous 'spark' mention's
+    candidates by context tf-idf cosine. Python-UDF path -> rows-only check."""
+    from pmcanalysis_spark.linking import link_mentions
+
+    docs = _docs(spark, sf_dir)
+    mentions = docs.filter(F.col("text").contains("spark")).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).alias("sent_idx"),
+        F.lit("spark").alias("name"),
+        F.col("text").alias("sentence"),
+    )
+    return link_mentions(mentions, LEX)
+
+
 # ---------------------------------------------------------------------------
 # general relational coverage (scan/filter/join/agg/window over the star schema)
 # ---------------------------------------------------------------------------
@@ -431,6 +559,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_min_cooc": q_kg_min_cooc,
         "kg_auc": q_kg_auc,
         "kg_connected_components": q_kg_connected_components,
+        "kg_doc_tags": q_kg_doc_tags,
+        "kg_mention_totals": q_kg_mention_totals,
+        "kg_serving_conjunction": q_kg_serving_conjunction,
+        "join_left_outer_coalesce": q_join_left_outer_coalesce,
+        "join_anti_gold": q_join_anti_gold,
+        "sample_systematic": q_sample_systematic,
+        "limit_parity": q_limit_parity,
+        "f_iri_curie": q_f_iri_curie,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "link_scores": q_link_scores,
         "dd_exact_dedup": q_dd_exact_dedup,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_minhash": q_dd_minhash,
@@ -542,6 +680,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
           )
           SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        """,
+        "kg_doc_tags": _MENTIONS_SQL
+        + """
+          SELECT doc_id, string_agg(term_id, ',' ORDER BY term_id) AS tags
+          FROM (SELECT DISTINCT doc_id, term_id FROM mentions)
+          GROUP BY doc_id
+        """,
+        "kg_mention_totals": f"""
+          WITH lex(name, term_id) AS (VALUES {_lex_values()}),
+          toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+          )
+          SELECT COUNT(*) AS total_mentions
+          FROM toks JOIN lex ON lex.name = toks.tok AND toks.tok <> ''
+        """,
+        "kg_serving_conjunction": _MENTIONS_SQL
+        + f""",
+          grp(group_id, term_id) AS (VALUES {", ".join(f"('{g}', '{t}')" for g, t in SERVING_GROUPS)})
+          SELECT doc_id, COUNT(DISTINCT group_id) AS n_matched
+          FROM mentions JOIN grp USING (term_id)
+          GROUP BY doc_id
+          HAVING COUNT(DISTINCT group_id) = {len({g for g, _ in SERVING_GROUPS})}
+        """,
+        "join_left_outer_coalesce": """
+          SELECT c_custkey, COALESCE(n, 0) AS n_orders
+          FROM customer
+          LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) o
+            ON c_custkey = o.o_custkey
+        """,
+        "join_anti_gold": """
+          SELECT c_custkey FROM customer
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "sample_systematic": """
+          SELECT doc_id, n_chars FROM documents
+          WHERE doc_id % 7 = 0 AND text NOT LIKE '%dup%'
+        """,
+        "limit_parity": """
+          SELECT doc_id, n_chars FROM documents
+          ORDER BY n_chars DESC, doc_id ASC LIMIT 100
+        """,
+        "f_iri_curie": f"""
+          WITH lex(name, term_id) AS (VALUES {_lex_values()}),
+          t AS (SELECT DISTINCT term_id FROM lex),
+          i AS (
+            SELECT term_id,
+              concat('<http://purl.obolibrary.org/obo/', replace(term_id, ':', '_'), '>') AS iri
+            FROM t
+          )
+          SELECT term_id, iri,
+            replace(replace(regexp_replace(iri, '<http://purl\\.obolibrary\\.org/obo/', ''), '>', ''), '_', ':') AS curie
+          FROM i
         """,
         "dd_exact_dedup": """
           SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,

@@ -1,0 +1,142 @@
+"""Candidate entity-link scoring (SURVEY.md §7.2 step 5; north_star:
+"score candidate entity links with vectorized TF-IDF/context-similarity
+UDFs").
+
+The reference links a matched surface form to ALL candidate ids
+(ParseMedline3.groovy:284-291 — ``name2id`` is a multimap). Parity mode
+keeps that. Scored mode ranks the candidates: each ontology term carries a
+context profile (the bag of words of all its names/synonyms); a mention's
+context (its sentence minus the matched span) is TF-IDF-weighted and
+cosine-compared to each candidate profile.
+
+Implementation: term profiles are tiny -> built on the driver, broadcast as
+{term_id: {token: weight}}; the scorer is ONE Arrow-batched pandas UDF over
+the mentions table (no per-row Python, no shuffle — the mention row already
+carries its sentence context).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .nlp import tokenize_py
+
+LINKED_MENTIONS = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("sent_idx", IntegerType(), False),
+        StructField("name", StringType(), False),
+        StructField("term_id", StringType(), False),
+        StructField("link_score", DoubleType(), True),
+        StructField("link_rank", IntegerType(), False),
+    ]
+)
+
+
+def build_term_profiles(
+    lexicon_entries: list[tuple[str, str]],
+) -> dict[str, dict[str, float]]:
+    """term_id -> {token: tf-idf weight} from the term's own names/synonyms.
+
+    IDF over the 'corpus' of term profiles (a token shared by many terms is
+    uninformative for disambiguation).
+    """
+    term_tokens: dict[str, Counter] = defaultdict(Counter)
+    for name, tid in lexicon_entries:
+        term_tokens[tid].update(tokenize_py(name))
+    n_terms = max(len(term_tokens), 1)
+    df_count: Counter = Counter()
+    for toks in term_tokens.values():
+        df_count.update(set(toks))
+    profiles: dict[str, dict[str, float]] = {}
+    for tid, toks in term_tokens.items():
+        vec = {
+            t: tf * math.log((1 + n_terms) / (1 + df_count[t]))
+            for t, tf in toks.items()
+        }
+        norm = math.sqrt(sum(w * w for w in vec.values())) or 1.0
+        profiles[tid] = {t: w / norm for t, w in vec.items()}
+    return profiles
+
+
+def score_links_py(
+    context_tokens: list[str], candidates: list[str],
+    profiles: dict[str, dict[str, float]],
+) -> list[tuple[str, float]]:
+    """Rank candidate term_ids by cosine(context tf, candidate profile).
+    Deterministic tie-break by term_id. Pure function (oracle-testable)."""
+    ctx = Counter(context_tokens)
+    cnorm = math.sqrt(sum(v * v for v in ctx.values())) or 1.0
+    scored = []
+    for tid in candidates:
+        prof = profiles.get(tid, {})
+        s = sum((tf / cnorm) * prof.get(t, 0.0) for t, tf in ctx.items())
+        scored.append((tid, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored
+
+
+def link_mentions(
+    mentions_with_context: DataFrame,
+    lexicon_entries: list[tuple[str, str]],
+) -> DataFrame:
+    """mentions(url, sent_idx, name, sentence) -> one row per candidate with
+    (link_score, link_rank). Input must carry the sentence text; ambiguity
+    comes from the lexicon multimap.
+    """
+    sc = mentions_with_context.sparkSession.sparkContext
+    name2ids: dict[str, list[str]] = defaultdict(list)
+    for name, tid in lexicon_entries:
+        if tid not in name2ids[name.lower()]:
+            name2ids[name.lower()].append(tid)
+    bprofiles = sc.broadcast(build_term_profiles(lexicon_entries))
+    bnames = sc.broadcast(dict(name2ids))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        profiles = bprofiles.value
+        n2i = bnames.value
+        for pdf in batches:
+            urls, sidx, names, tids, scores, ranks = [], [], [], [], [], []
+            for url, si, name, sentence in zip(
+                pdf["url"], pdf["sent_idx"], pdf["name"], pdf["sentence"]
+            ):
+                cands = n2i.get(name, [])
+                if not cands:
+                    continue
+                ctx = [t for t in tokenize_py(sentence or "")
+                       if t not in set(name.split())]
+                for rank, (tid, s) in enumerate(
+                    score_links_py(ctx, sorted(cands), profiles), start=1
+                ):
+                    urls.append(url)
+                    sidx.append(int(si))
+                    names.append(name)
+                    tids.append(tid)
+                    scores.append(float(s))
+                    ranks.append(rank)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "sent_idx": pd.Series(sidx, dtype="int32"),
+                    "name": pd.Series(names, dtype="object"),
+                    "term_id": pd.Series(tids, dtype="object"),
+                    "link_score": pd.Series(scores, dtype="float64"),
+                    "link_rank": pd.Series(ranks, dtype="int32"),
+                }
+            )
+
+    return mentions_with_context.select(
+        "url", "sent_idx", "name", "sentence"
+    ).mapInPandas(score, schema=LINKED_MENTIONS)
