@@ -72,48 +72,50 @@ def _prewarm(spark) -> None:
     spark.range(100000).select(F.md5(F.col("id").cast("string"))).distinct().count()
 
 
-def _run_pipeline(cores: int, n_pages: int, sentences_per_page: int) -> tuple[float, int]:
-    """Full KG pipeline at a given parallelism; returns (wall_sec, n_triples).
+def _write_bench_corpus(n_pages: int, sentences_per_page: int, path: str) -> None:
+    """Generate the deterministic corpus ONCE to parquet (64 files) so every
+    measured session reads identical splits from (OS-cached) storage."""
+    from pmcanalysis_spark.fixtures import bench_pages_df
+    from pmcanalysis_spark.session import get_spark
 
-    Fresh SparkSession bound to local[cores]; input is generated distributed
-    with a FIXED partition count (64) so both runs process identical splits
-    and only the executor-thread count varies — the sandbox stand-in for
-    N vs 4N executors.
+    spark = get_spark(app_name="bench-gen", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    try:
+        bench_pages_df(spark, n_pages, sentences_per_page, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        spark.stop()
+
+
+def _run_pipeline(cores: int, corpus_path: str) -> tuple[float, int]:
+    """One timed run of the full KG pipeline at a given parallelism.
+
+    Fresh SparkSession bound to local[cores]; identical 64-split parquet
+    input for every level — the sandbox stand-in for N vs 4N executors.
+    Callers interleave (rep x level) and take the per-level min: single-run
+    walls on this box swing +-50% with multi-minute drift, so sequential
+    per-level measurement would compare different noise regimes.
     """
-    from pmcanalysis_spark.fixtures import (
-        bench_pages_df,
-        build_hierarchy_terms,
-        build_lexicon,
-    )
+    from pmcanalysis_spark.fixtures import build_hierarchy_terms, build_lexicon
     from pmcanalysis_spark.pipeline import PipelineConfig, build_triples
     from pmcanalysis_spark.schemas import HIERARCHY
     from pmcanalysis_spark.session import get_spark
 
     spark = get_spark(app_name=f"bench-local{cores}", cores=cores,
-                      shuffle_partitions=max(cores, 8))
+                      shuffle_partitions=cores)
     try:
         _prewarm(spark)
         lex = [(e.name, e.term_id) for e in build_lexicon()]
         _, closure = build_hierarchy_terms()
-        df = bench_pages_df(spark, n_pages, sentences_per_page, partitions=64).persist()
+        df = spark.read.parquet(corpus_path).persist()
         df.count()  # materialize input outside the timed window
         hier = spark.createDataFrame(closure, HIERARCHY)
-        # best-of-2 timed reps: single-run walls on this box swing +-50%
-        # (shared-host noise); steady-state min is the comparable number
-        best, n = None, -1
-        for _rep in range(2):
-            # drop rep1's internal dt cache (identical plan would otherwise
-            # be served from cache and skip the scan), rebuild the input cache
-            spark.catalog.clearCache()
-            df = df.persist()
-            df.count()
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            triples = build_triples(df, lex, hierarchy=hier, cfg=PipelineConfig())
-            n = triples.count()
-            wall = time.perf_counter() - t0
-            best = wall if best is None else min(best, wall)
-        return best, n
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        triples = build_triples(df, lex, hierarchy=hier, cfg=PipelineConfig())
+        n = triples.count()
+        wall = time.perf_counter() - t0
+        return wall, n
     finally:
         spark.stop()
 
@@ -130,18 +132,49 @@ def main() -> None:
     spark.stop()
 
     spp = int(os.environ.get("SPARK_GRAFT_BENCH_SPP", "120"))
+    corpus_path = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "/tmp/bench_corpus.parquet")
+    _write_bench_corpus(N_BENCH_PAGES, spp, corpus_path)
     # three levels: N=2 vs 4N=8 is the contention-free scaling gate (the
     # 32-core level shares turbo/clock headroom with nothing and shows the
     # box's max throughput; its 8->32 efficiency is also reported).
     levels = sorted({2, max(2, cores_hi // 4), cores_hi})
-    runs = {}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    walls: dict[int, list[float]] = {c: [] for c in levels}
     n_ref = None
-    for c in levels:
-        wall, n = _run_pipeline(c, N_BENCH_PAGES, spp)
-        runs[c] = {"wall_sec": round(wall, 3), "triples_per_sec": round(n / wall, 1)}
-        if n_ref is None:
-            n_ref = n
-        assert n == n_ref, f"triple counts diverge across parallelism: {n} vs {n_ref}"
+    for _rep in range(reps):
+        for c in levels:  # interleaved so machine-noise drift hits all levels
+            wall, n = _run_pipeline(c, corpus_path)
+            walls[c].append(wall)
+            if n_ref is None:
+                n_ref = n
+            assert n == n_ref, f"triple counts diverge across parallelism: {n} vs {n_ref}"
+    runs = {
+        c: {
+            "wall_sec": round(min(w), 3),
+            "triples_per_sec": round(n_ref / min(w), 1),
+            "all_walls": [round(x, 2) for x in w],
+        }
+        for c, w in walls.items()
+    }
+
+    # acceptance metric: triple P/R vs the miniature reference oracle
+    from pmcanalysis_spark.fixtures import build_lexicon, build_web_pages
+    from pmcanalysis_spark.operators.evaluate import triple_set_pr
+    from pmcanalysis_spark.oracle import MiniOracle
+    from pmcanalysis_spark.pipeline import build_triples
+    from pmcanalysis_spark.schemas import WEB_PAGES
+
+    pr_spark = get_spark(app_name="bench-pr", cores=min(8, cores_hi))
+    corpus = build_web_pages(2000)
+    lexicon = build_lexicon()
+    got = build_triples(
+        pr_spark.createDataFrame(corpus, WEB_PAGES),
+        [(e.name, e.term_id) for e in lexicon],
+    )
+    exp_rows = [(r[0], r[1], r[2]) for r in MiniOracle(lexicon).triples(corpus)]
+    exp = pr_spark.createDataFrame(exp_rows, "subj string, pred string, obj string")
+    triple_pr = triple_set_pr(got, exp)
+    pr_spark.stop()
 
     def eff(lo: int, hi: int) -> float:
         return round(
@@ -158,6 +191,11 @@ def main() -> None:
         "scaling_8_to_32": eff(mid, hi) if mid != hi else None,
         "triples_per_sec_max": max(r["triples_per_sec"] for r in runs.values()),
         "scaling_efficiency": eff(lo, mid),
+        "triple_pr_vs_oracle": {
+            "precision": round(triple_pr["precision"], 4),
+            "recall": round(triple_pr["recall"], 4),
+            "gate": ">= 0.95",
+        },
     }
 
     os.makedirs("BENCH", exist_ok=True)
@@ -175,6 +213,9 @@ def main() -> None:
             )
             + f"\nscaling efficiency N={lo} -> 4N={mid}: "
             f"**{pipeline['scaling_gate']['efficiency']}** (gate: >= 0.8)\n\n"
+            f"triple P/R vs miniature reference oracle (2000-page fixture): "
+            f"precision={pipeline['triple_pr_vs_oracle']['precision']}, "
+            f"recall={pipeline['triple_pr_vs_oracle']['recall']} (gate: >= 0.95)\n\n"
             f"efficiency {mid} -> {hi} cores: {pipeline['scaling_8_to_32']} — on this\n"
             "single-socket box the all-core regime runs at base clock while the\n"
             "low-core regime gets turbo headroom; a raw 32-process CPython burn\n"

@@ -72,24 +72,35 @@ def corpus_size_df(dt: DataFrame) -> DataFrame:
 def pair_counts(
     dt: DataFrame,
     a_prefix: str | None = None,
-    b_prefix: str | None = None,
+    b_prefix: "str | tuple[str, ...] | None" = None,
     salt_buckets: int = 0,
 ) -> DataFrame:
     """Self-join on doc_id -> (a_id, b_id, nab) with nab > 0 only (J4/A2/P5).
 
     ``a_prefix``/``b_prefix`` restrict the two sides (J5: e.g. "DOID:" ×
     "HP:") so the theta-pairing of the reference becomes a plain equi-join.
+    ``b_prefix`` may be a tuple of prefixes — ONE join with an OR filter
+    covers every b family (two separate joins would shuffle dt twice).
 
     ``salt_buckets > 0`` enables an explicit two-phase aggregate for skewed
     head pairs: groupBy(a, b, salt) partial -> groupBy(a, b) final. The salt
     is derived from doc_id so it costs no extra shuffle of the join itself.
     """
+
+    def _prefix_filter(col, prefixes):
+        if isinstance(prefixes, str):
+            prefixes = (prefixes,)
+        cond = col.startswith(prefixes[0])
+        for p in prefixes[1:]:
+            cond = cond | col.startswith(p)
+        return cond
+
     a = dt
     b = dt
     if a_prefix:
-        a = a.filter(F.col("term_id").startswith(a_prefix))
+        a = a.filter(_prefix_filter(F.col("term_id"), a_prefix))
     if b_prefix:
-        b = b.filter(F.col("term_id").startswith(b_prefix))
+        b = b.filter(_prefix_filter(F.col("term_id"), b_prefix))
     a = a.select(F.col("term_id").alias("a_id"), "doc_id")
     b = b.select(F.col("term_id").alias("b_id"), "doc_id")
     joined = a.join(b, "doc_id")

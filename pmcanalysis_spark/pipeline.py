@@ -114,14 +114,11 @@ def build_triples(
     dt.count()
     total_df = corpus_size_df(dt)
     stats = term_stats(dt)
-    parts = []
-    for b_prefix in cfg.b_prefixes:
-        pc = pair_counts(dt, a_prefix=cfg.a_prefix, b_prefix=b_prefix,
-                         salt_buckets=cfg.salt_buckets)
-        parts.append(pc)
-    pairs = parts[0]
-    for p in parts[1:]:
-        pairs = pairs.unionByName(p)
-    # corpus size rides along as a broadcast scalar — the whole score stage
-    # is ONE job; caller materializes (write/count)
+    # all b families in ONE self-join (OR of prefixes) — one shuffle of dt,
+    # not one per family; corpus size rides along as a broadcast scalar so
+    # the whole score stage is ONE job; caller materializes (write/count)
+    pairs = pair_counts(
+        dt, a_prefix=cfg.a_prefix, b_prefix=cfg.b_prefixes,
+        salt_buckets=cfg.salt_buckets,
+    )
     return scored_pairs(pairs, stats, total_df, pred=cfg.pred)

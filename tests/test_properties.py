@@ -1,0 +1,107 @@
+"""Property-based tests (SURVEY.md §5): score-function invariants and
+operator algebraic properties, via Hypothesis on the pure-Python scalars
+(the Spark Column exprs are pinned to these by tests/test_scores.py)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pmcanalysis_spark.functions.scores import lmi_py, npmi_py, tscore_py, zscore_py
+from pmcanalysis_spark.nlp import TokenTrie
+from pmcanalysis_spark.oracle import trapezoid_auc
+
+counts = st.integers(min_value=1, max_value=10**6)
+
+
+@st.composite
+def contingency(draw):
+    total = draw(st.integers(min_value=4, max_value=10**6))
+    x = draw(st.integers(min_value=1, max_value=total))
+    y = draw(st.integers(min_value=1, max_value=total))
+    xy = draw(st.integers(min_value=1, max_value=min(x, y)))
+    return float(total), float(x), float(y), float(xy)
+
+
+@given(contingency())
+@settings(max_examples=200, deadline=None)
+def test_npmi_bounded_above_by_one(c):
+    t, x, y, xy = c
+    v = npmi_py(t, x, y, xy)
+    if not math.isnan(v) and not math.isinf(v):
+        assert v <= 1.0 + 1e-12
+
+
+@given(contingency(), st.integers(min_value=1, max_value=100))
+@settings(max_examples=200, deadline=None)
+def test_npmi_monotone_in_xy(c, bump):
+    """More co-occurrence (x, y, total fixed) never lowers npmi."""
+    t, x, y, xy = c
+    xy2 = min(min(x, y), xy + bump)
+    v1, v2 = npmi_py(t, x, y, xy), npmi_py(t, x, y, xy2)
+    if any(math.isnan(v) or math.isinf(v) for v in (v1, v2)):
+        return
+    assert v2 >= v1 - 1e-9
+
+
+@given(contingency())
+@settings(max_examples=200, deadline=None)
+def test_scores_symmetric_in_x_y(c):
+    """Pair scores are symmetric under swapping the two terms."""
+    t, x, y, xy = c
+    for fn in (npmi_py, tscore_py, zscore_py, lmi_py):
+        a, b = fn(t, x, y, xy), fn(t, y, x, xy)
+        if math.isnan(a) or math.isnan(b):
+            assert math.isnan(a) and math.isnan(b)
+        else:
+            assert math.isclose(a, b, rel_tol=1e-12)
+
+
+@given(st.lists(st.tuples(st.floats(0, 1), st.floats(0, 1)), min_size=2, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_auc_bounded(points):
+    pts = sorted(set(points))
+    if len(pts) < 2:
+        return
+    v = trapezoid_auc(pts)
+    span = pts[-1][0] - pts[0][0]
+    assert -1e-9 <= v <= span + 1e-9
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=3), min_size=1, max_size=12
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_trie_spans_non_overlapping_and_sorted(tokens):
+    trie = TokenTrie.from_lexicon(
+        [("a a", "T:1"), ("a a a", "T:2"), ("b b", "T:3"), ("aaaa", "T:4")],
+        min_name_len=2,
+    )
+    spans = trie.find(tokens)
+    for (b1, e1, _n1, _i1), (b2, e2, _n2, _i2) in zip(spans, spans[1:]):
+        assert e1 <= b2  # non-overlapping, left-to-right
+    for b, e, name, _ids in spans:
+        assert tokens[b:e] == name.split()
+
+
+def test_closure_idempotent():
+    """Applying the (transitive) closure twice adds nothing."""
+    from collections import defaultdict
+
+    closure = [("a", "mid"), ("a", "root"), ("mid", "root")]
+    docs = {"a": {"d1", "d2"}, "mid": {"d3"}}
+
+    def close(by_term):
+        out = defaultdict(set, {k: set(v) for k, v in by_term.items()})
+        for t, anc in closure:
+            if t in out:
+                out[anc] |= out[t]
+        return out
+
+    once = close(docs)
+    twice = close(once)
+    assert once == twice
