@@ -456,6 +456,51 @@ def q_f_iri_curie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lex.select("term_id", iri.alias("iri"), back.alias("curie"))
 
 
+def q_kg_pair_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 with explicit skew salting (two-phase aggregate): must produce
+    byte-identical counts to the unsalted plan — same oracle as
+    kg_pair_counts proves it in the driver gate."""
+    from pmcanalysis_spark.operators.cooccur import pair_counts
+
+    m = _mentions(spark, sf_dir).select("term_id", "doc_id")
+    return pair_counts(m, a_prefix="OP:", b_prefix="DS:", salt_buckets=8)
+
+
+def q_kg_triples_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: decorate pairs with human-readable names (broadcast dim join);
+    names sorted+joined so the 1:N name multimap hashes stably."""
+    pc = q_kg_pair_counts(spark, sf_dir)
+    lex = _lex_df(spark)
+    an = lex.groupBy(F.col("term_id").alias("a_id")).agg(
+        F.array_join(F.sort_array(F.collect_set("name")), "|").alias("a_name")
+    )
+    bn = lex.groupBy(F.col("term_id").alias("b_id")).agg(
+        F.array_join(F.sort_array(F.collect_set("name")), "|").alias("b_name")
+    )
+    return pc.join(F.broadcast(an), "a_id").join(F.broadcast(bn), "b_id")
+
+
+def q_lex_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: prefix top-k suggestions weighted 10000 - len(name)
+    (DoPhenoServer.groovy:81,109 SuggestTree semantics)."""
+    lex = _lex_df(spark).select("name").distinct()
+    return (
+        lex.filter(F.col("name").startswith("s"))
+        .withColumn("weight", F.lit(10000) - F.length("name"))
+        .orderBy(F.desc("weight"), F.asc("name"))
+        .limit(5)
+    )
+
+
+def q_kg_term_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 over terms: xref/name-shared terms merged by connected
+    components; min term_id elected canonical (entities table shape)."""
+    from pmcanalysis_spark.canonicalize import canonicalize_terms
+
+    lex = _lex_df(spark).withColumn("kind", F.lit("name"))
+    return canonicalize_terms(lex)
+
+
 # rows-only queries (no SQL oracle: python-UDF or float-order dependent)
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,6 +612,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_systematic": q_sample_systematic,
         "limit_parity": q_limit_parity,
         "f_iri_curie": q_f_iri_curie,
+        "kg_pair_counts_salted": q_kg_pair_counts_salted,
+        "kg_triples_named": q_kg_triples_named,
+        "lex_autocomplete": q_lex_autocomplete,
+        "kg_term_canonical": q_kg_term_canonical,
         "sim_lsh_topk": q_sim_lsh_topk,
         "link_scores": q_link_scores,
         "dd_exact_dedup": q_dd_exact_dedup,
@@ -732,6 +781,44 @@ def oracle_sql() -> dict[str, str]:
           SELECT term_id, iri,
             replace(replace(regexp_replace(iri, '<http://purl\\.obolibrary\\.org/obo/', ''), '>', ''), '_', ':') AS curie
           FROM i
+        """,
+        "kg_pair_counts_salted": _MENTIONS_SQL + pair_counts_sql,
+        "kg_triples_named": _MENTIONS_SQL
+        + f""",
+          pc AS ({pair_counts_sql}),
+          an AS (
+            SELECT term_id AS a_id, string_agg(name, '|' ORDER BY name) AS a_name
+            FROM (SELECT DISTINCT term_id, name FROM lex) GROUP BY term_id
+          ),
+          bn AS (
+            SELECT term_id AS b_id, string_agg(name, '|' ORDER BY name) AS b_name
+            FROM (SELECT DISTINCT term_id, name FROM lex) GROUP BY term_id
+          )
+          SELECT pc.a_id, pc.b_id, pc.nab, an.a_name, bn.b_name
+          FROM pc JOIN an USING (a_id) JOIN bn USING (b_id)
+        """,
+        "lex_autocomplete": f"""
+          WITH lex(name, term_id) AS (VALUES {_lex_values()})
+          SELECT name, CAST(10000 - length(name) AS INT) AS weight
+          FROM (SELECT DISTINCT name FROM lex)
+          WHERE name LIKE 's%'
+          ORDER BY weight DESC, name ASC LIMIT 5
+        """,
+        "kg_term_canonical": f"""
+          WITH RECURSIVE lex(name, term_id) AS (VALUES {_lex_values()}),
+          keys AS (SELECT DISTINCT name, term_id FROM lex),
+          edges AS (
+            SELECT a.term_id AS src, b.term_id AS dst
+            FROM keys a JOIN keys b ON a.name = b.name AND a.term_id < b.term_id
+          ),
+          sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+          verts AS (SELECT DISTINCT term_id AS id FROM lex),
+          reach(id, r) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+          )
+          SELECT id AS term_id, MIN(r) AS canonical_id FROM reach GROUP BY id
         """,
         "dd_exact_dedup": """
           SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,

@@ -133,6 +133,64 @@ def connected_components(
     return labels
 
 
+def canonicalize_terms(
+    lexicon: DataFrame, min_shared_names: int = 1, xref_kind: str = "xref"
+) -> DataFrame:
+    """Ontology-term entity canonicalization: terms that share an xref (or
+    >= min_shared_names exact names) are the same real-world entity; merge
+    via connected components and elect the min term_id as canonical.
+
+    Input: lexicon(name, term_id, kind). Output: (term_id, canonical_id) for
+    EVERY term (singletons map to themselves). The triples table is then
+    rewritten by two broadcast joins (subj, obj) — the "canonicalize before
+    materializing" stage of the north_star. Edge construction is a self-join
+    on the shared key (name/xref), the same salted-groupBy shape as J4.
+    """
+    keys = lexicon.filter(
+        (F.col("kind") == xref_kind) | (F.col("kind") == "name")
+    ).select("name", "term_id").distinct()
+    a = keys.select(F.col("name"), F.col("term_id").alias("src"))
+    b = keys.select(F.col("name"), F.col("term_id").alias("dst"))
+    shared = (
+        a.join(b, "name")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared_names)
+        .select("src", "dst")
+    )
+    verts = lexicon.select(F.col("term_id").alias("id")).distinct()
+    comp = connected_components(shared, vertices=verts)
+    return comp.select(F.col("id").alias("term_id"), F.col("component").alias("canonical_id"))
+
+
+def rewrite_triples_canonical(triples: DataFrame, canon: DataFrame) -> DataFrame:
+    """Rewrite (subj, obj) through the canonical map (broadcast, 1:1) and
+    re-aggregate counts for merged pairs. Scores must be recomputed after a
+    merge (na/nb change); here we keep max-score semantics for the merged
+    row — callers needing exact re-scoring re-run scored_pairs on the
+    canonical doc_terms."""
+    cs = F.broadcast(canon.select(F.col("term_id").alias("subj"), F.col("canonical_id").alias("c_subj")))
+    co = F.broadcast(canon.select(F.col("term_id").alias("obj"), F.col("canonical_id").alias("c_obj")))
+    return (
+        triples.join(cs, "subj", "left")
+        .join(co, "obj", "left")
+        .select(
+            F.coalesce("c_subj", "subj").alias("subj"),
+            "pred",
+            F.coalesce("c_obj", "obj").alias("obj"),
+            "nab", "na", "nb", "npmi",
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.sum("nab").alias("nab"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+            F.max("npmi").alias("npmi"),
+        )
+    )
+
+
 def canonicalize_authors(records: DataFrame, **thresholds) -> DataFrame:
     """author_records -> (doc_id, author_key, entity_id).
 

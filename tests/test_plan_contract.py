@@ -1,0 +1,75 @@
+"""Plan-contract regression tests: the flagship plan must keep the shape
+reviewed in PLANS.md — exactly one python crossing, broadcast dims, partial
+aggregation, salted agg equivalence. Catching a regression here is catching
+a 10x at 100 TB."""
+
+from __future__ import annotations
+
+from pmcanalysis_spark.fixtures import build_hierarchy_terms, build_lexicon, build_web_pages
+from pmcanalysis_spark.operators.cooccur import pair_counts
+from pmcanalysis_spark.pipeline import build_triples
+from pmcanalysis_spark.schemas import HIERARCHY, WEB_PAGES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_single_python_crossing(spark):
+    pages = build_web_pages(50)
+    lex = [(e.name, e.term_id) for e in build_lexicon()]
+    _, closure = build_hierarchy_terms()
+    hier = spark.createDataFrame(closure, HIERARCHY)
+    df = spark.createDataFrame(pages, WEB_PAGES)
+    t = build_triples(df, lex, hierarchy=hier)
+    plan = _plan(t)
+    # the python scan is fused and CACHED: consumers read InMemoryTableScan,
+    # and no chained scalar pandas UDF stage (ArrowEvalPython) exists.
+    # (MapInPandas appears repeatedly in the string only because the cached
+    # subtree is printed inside every InMemoryRelation reference.)
+    assert "InMemoryTableScan" in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dim_joins_are_broadcast_not_shuffled(spark):
+    pages = build_web_pages(50)
+    lex = [(e.name, e.term_id) for e in build_lexicon()]
+    df = spark.createDataFrame(pages, WEB_PAGES)
+    t = build_triples(df, lex)
+    plan = _plan(t)
+    # na/nb/corpus scalar must come in via broadcast, never SortMergeJoin
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_agg_equals_unsalted(spark):
+    dt = spark.createDataFrame(
+        [(f"DOID:{i % 3}", f"d{j}") for i in range(3) for j in range(40)]
+        + [(f"HP:{i % 2}", f"d{j}") for i in range(2) for j in range(40)],
+        "term_id string, doc_id string",
+    ).distinct()
+    plain = {
+        (r.a_id, r.b_id): r.nab
+        for r in pair_counts(dt, "DOID:", "HP:").collect()
+    }
+    salted = {
+        (r.a_id, r.b_id): r.nab
+        for r in pair_counts(dt, "DOID:", "HP:", salt_buckets=7).collect()
+    }
+    assert plain == salted and plain
+
+
+def test_multi_prefix_single_join_equals_union(spark):
+    dt = spark.createDataFrame(
+        [("DOID:1", "d1"), ("HP:1", "d1"), ("MP:1", "d1"), ("HP:2", "d2"), ("DOID:1", "d2")],
+        "term_id string, doc_id string",
+    )
+    single = {
+        (r.a_id, r.b_id): r.nab
+        for r in pair_counts(dt, "DOID:", ("HP:", "MP:")).collect()
+    }
+    union = {}
+    for b in ("HP:", "MP:"):
+        for r in pair_counts(dt, "DOID:", b).collect():
+            union[(r.a_id, r.b_id)] = r.nab
+    assert single == union
