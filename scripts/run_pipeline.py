@@ -118,6 +118,24 @@ def main(argv: list[str] | None = None) -> int:
     out, res = materialize_stage(
         triples, "triples", args.output, key_col="subj", fingerprint=fp
     )
+
+    # entity canonicalization stage (north_star): merge xref/name-shared
+    # terms, materialize the entities map and the canonical triple table
+    from pmcanalysis_spark.canonicalize import canonicalize_terms, rewrite_triples_canonical
+
+    lex_df = spark.createDataFrame(
+        [(n, t, "name") for n, t in lex], "name string, term_id string, kind string"
+    )
+    entities = canonicalize_terms(lex_df)
+    ents, eres = materialize_stage(
+        entities, "entities", args.output, key_col="term_id", fingerprint=fp
+    )
+    canon_triples = rewrite_triples_canonical(
+        out.select("subj", "pred", "obj", "nab", "na", "nb", "npmi"), ents
+    )
+    _, cres = materialize_stage(
+        canon_triples, "triples_canonical", args.output, key_col="subj", fingerprint=fp
+    )
     wall = time.perf_counter() - t0
     print(
         json.dumps(
@@ -125,6 +143,8 @@ def main(argv: list[str] | None = None) -> int:
                 "stage": res.stage,
                 "resumed": res.resumed,
                 "n_triples": res.row_count,
+                "n_entities": eres.row_count,
+                "n_canonical_triples": cres.row_count,
                 "n_partitions": res.n_partitions,
                 "wall_sec": round(wall, 2),
                 "triples_per_sec": round(res.row_count / wall, 2) if wall else None,

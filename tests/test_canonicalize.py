@@ -43,3 +43,23 @@ def test_connected_components_chain_and_islands(spark):
     assert comp["a"] == comp["b"] == comp["c"]
     assert comp["x"] == comp["y"]
     assert comp["a"] != comp["x"]
+
+
+def test_connected_components_distributed_path_matches_fast_path(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("p", "q"), ("q", "r")],
+        "src string, dst string",
+    )
+    verts = spark.createDataFrame([(v,) for v in "abcdxypqrz"], "id string")
+    fast = {
+        r.id: r.component
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    dist = {
+        r.id: r.component
+        for r in connected_components(
+            edges, vertices=verts, driver_threshold=0
+        ).collect()
+    }
+    assert fast == dist
+    assert fast["z"] == "z"  # isolated vertex labels itself

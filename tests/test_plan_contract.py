@@ -42,6 +42,28 @@ def test_dim_joins_are_broadcast_not_shuffled(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_parquet_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
+    """Filters and projections must reach the parquet scan (PushedFilters /
+    ReadSchema) — the free 100 TB optimization Catalyst gives a declarative
+    plan."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 2 else "de") for i in range(100)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read_schema  # untouched wide column never read
+
+
 def test_salted_agg_equals_unsalted(spark):
     dt = spark.createDataFrame(
         [(f"DOID:{i % 3}", f"d{j}") for i in range(3) for j in range(40)]
