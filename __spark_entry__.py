@@ -319,6 +319,16 @@ def q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(_docs(spark, sf_dir))
 
 
+def q_dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold tuned so the synthetic
+    embeddings yield a non-empty set)."""
+    from pmcanalysis_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, threshold=0.4)
+    return out.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_ts_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmcanalysis_spark.operators.textstats import token_count
 
@@ -622,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_minhash": q_dd_minhash,
         "dd_simhash": q_dd_simhash,
+        "dd_embedding_neardup": q_dd_embedding_neardup,
         "ts_token_count": q_ts_token_count,
         "ts_quality": q_ts_quality,
         "ts_lang_id": q_ts_lang_id,
@@ -889,6 +900,19 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
           FROM votes GROUP BY doc_id
+        """,
+        "dd_embedding_neardup": """
+          WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+          )
+          , p AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              list_dot_product(a.vec, b.vec)
+              / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+          )
+          SELECT a_id, b_id, ROUND(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
         """,
         "ts_token_count": """
           SELECT doc_id,

@@ -168,6 +168,36 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id, b_id, cosine) where
+    cosine >= threshold, a_id < b_id. Brute-force baseline (correctness
+    anchor); route candidates through similarity.lsh_bucketed_topk at scale.
+    """
+    from .similarity import _dot, _norm
+
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("norm", _norm(F.col("vec")))
+    a = v.select(F.col("id").alias("a_id"), F.col("vec").alias("va"), F.col("norm").alias("na_"))
+    b = v.select(F.col("id").alias("b_id"), F.col("vec").alias("vb"), F.col("norm").alias("nb_"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na_") * F.col("nb_"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def simhash64(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
