@@ -466,6 +466,56 @@ def q_f_iri_curie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lex.select("term_id", iri.alias("iri"), back.alias("curie"))
 
 
+def _chunk_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-grain stand-in over documents: fixed 10-token chunks act as
+    sentences (testdata text has no sentence delimiters)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.withColumn("chunk", F.floor(F.col("pos") / 10))
+        .join(F.broadcast(_lex_df(spark)), F.col("tok") == F.col("name"))
+        .select("doc_id", "chunk", "term_id")
+    )
+
+
+def q_kg_sent_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-term mention occurrence counts at sentence(chunk) grain —
+    every mention counts, multimapped ids each increment."""
+    return _chunk_mentions(spark, sf_dir).groupBy("term_id").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def q_kg_sent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-grain co-occurrence (ParseMedline3 §3.2): pair counts over
+    distinct (doc, chunk, term) units, OP x DS."""
+    from pmcanalysis_spark.operators.sentence_grain import sentence_pair_counts
+
+    m = _chunk_mentions(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("chunk").cast("int").alias("sent_idx"),
+        "term_id",
+    )
+    return sentence_pair_counts(m, "OP:", "DS:")
+
+
+_CHUNK_MENTIONS_SQL = f"""
+  WITH lex(name, term_id) AS (VALUES {_lex_values()}),
+  toks AS (
+    SELECT doc_id,
+      unnest(range(0, len(string_split(text, ' ')))) AS pos,
+      unnest(string_split(text, ' ')) AS tok
+    FROM documents
+  ),
+  cm AS (
+    SELECT doc_id, pos // 10 AS chunk, term_id
+    FROM toks JOIN lex ON lex.name = toks.tok AND toks.tok <> ''
+  )
+"""
+
+
 def q_kg_pair_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 with explicit skew salting (two-phase aggregate): must produce
     byte-identical counts to the unsalted plan — same oracle as
@@ -626,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_named": q_kg_triples_named,
         "lex_autocomplete": q_lex_autocomplete,
         "kg_term_canonical": q_kg_term_canonical,
+        "kg_sent_occurrence": q_kg_sent_occurrence,
+        "kg_sent_pairs": q_kg_sent_pairs,
         "sim_lsh_topk": q_sim_lsh_topk,
         "link_scores": q_link_scores,
         "dd_exact_dedup": q_dd_exact_dedup,
@@ -794,6 +846,16 @@ def oracle_sql() -> dict[str, str]:
           FROM i
         """,
         "kg_pair_counts_salted": _MENTIONS_SQL + pair_counts_sql,
+        "kg_sent_occurrence": _CHUNK_MENTIONS_SQL
+        + "SELECT term_id, COUNT(*) AS cnt FROM cm GROUP BY term_id",
+        "kg_sent_pairs": _CHUNK_MENTIONS_SQL
+        + """
+          , units AS (SELECT DISTINCT doc_id, chunk, term_id FROM cm)
+          SELECT a.term_id AS a_id, b.term_id AS b_id, COUNT(*) AS nab
+          FROM units a JOIN units b ON a.doc_id = b.doc_id AND a.chunk = b.chunk
+          WHERE a.term_id LIKE 'OP:%' AND b.term_id LIKE 'DS:%'
+          GROUP BY 1, 2
+        """,
         "kg_triples_named": _MENTIONS_SQL
         + f""",
           pc AS ({pair_counts_sql}),
@@ -875,9 +937,15 @@ def oracle_sql() -> dict[str, str]:
               WHERE i + 2 <= len(toks)
             )
           )
+          , hashed AS (
+            SELECT doc_id,
+              CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+              CAST(concat('0x', substr(md5(shingle), 16, 15)) AS BIGINT) % (1::BIGINT << 57) AS h2
+            FROM sh
+          )
           SELECT doc_id, CAST(seed AS INT) AS hash_idx,
-                 MIN(CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), '|', shingle)), 1, 15)) AS BIGINT)) AS minhash
-          FROM sh CROSS JOIN range(8) AS t(seed)
+                 MIN((h1 + seed * h2) % 2305843009213693951) AS minhash
+          FROM hashed CROSS JOIN range(8) AS t(seed)
           GROUP BY doc_id, seed
         """,
         "dd_simhash": """

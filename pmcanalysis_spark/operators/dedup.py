@@ -107,6 +107,9 @@ def ngram_jaccard_pairs(
     )
 
 
+MERSENNE61 = (1 << 61) - 1
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -114,14 +117,29 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — sig[i] = min over shingles of
-    portable_hash64(shingle, seed=i). One shuffle (groupBy doc)."""
+    """(doc_id, sig: array<bigint>) — sig[i] = min over shingles of the i-th
+    permutation hash. One shuffle (groupBy doc).
+
+    Permutations use the standard affine family g_i = (h1 + i*h2) mod
+    (2^61-1) derived from ONE md5 per shingle (h1 = hex[1:15], h2 =
+    hex[16:30]) — 60-bit values, so h1 + i*h2 stays under 2^63 for i <= 7
+    and under 2^63 needs i*h2 < 2^63 - 2^60: safe for num_hashes <= 4 only…
+    so h2 is reduced mod 2^57 first, keeping i*h2 < 2^61 for i < 16. All
+    integer ops exist verbatim in DuckDB for the oracle.
+    """
+    assert num_hashes <= 16, "affine-family derivation sized for <= 16 hashes"
     sh = shingles(docs, id_col, text_col, n)
+    md5 = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    h2 = F.pmod(F.conv(F.substring(md5, 16, 15), 16, 10).cast("long"),
+                F.lit(1 << 57).cast("long"))
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     mins = [
-        F.min(portable_hash64(F.col("shingle"), seed=i)).alias(f"h{i}")
+        F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"),
+                     F.lit(MERSENNE61).cast("long"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    agg = sh.groupBy("doc_id").agg(*mins)
+    agg = hashed.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
