@@ -589,18 +589,26 @@ def q_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # general relational coverage (scan/filter/join/agg/window over the star schema)
 # ---------------------------------------------------------------------------
 
+def _dsum(col) -> F.Column:
+    """Order-independent sum of a double column: sum over DECIMAL(28,6) is
+    exact, so Spark and DuckDB agree bit-for-bit regardless of partial-agg
+    order (raw double sums differ in the last ulp across engines/partition
+    orders and can cross the rounding boundary)."""
+    return F.sum(col.cast("decimal(28,6)")).cast("double")
+
+
 def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(_dsum(F.col("l_quantity")), 6).alias("sum_qty"),
+            F.round(_dsum(F.col("l_extendedprice")), 6).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(_dsum(F.col("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -616,7 +624,7 @@ def q_tpch_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.round(_dsum(F.col("o_totalprice")), 6).alias("revenue"),
         )
     )
 
@@ -625,7 +633,7 @@ def q_ev_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(F.count("*").alias("n"), F.round(_dsum(F.col("value")), 6).alias("total_value"))
     )
 
 
@@ -633,7 +641,7 @@ def q_ev_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmcanalysis_spark.operators.ranking import topk_per_key
 
     ev = _t(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("total"))
+    per_user = ev.groupBy("user_id").agg(F.round(_dsum(F.col("value")), 6).alias("total"))
     ranked = topk_per_key(
         per_user.withColumn("_g", F.lit(1)), "_g", "total", 5, tiebreak="user_id"
     )
@@ -1020,19 +1028,21 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
           ) WHERE rank <= 3
         """,
+        # double sums go through DECIMAL(28,6) (exact, order-independent)
         "tpch_pricing_summary": """
           SELECT l_returnflag, l_linestatus,
-            ROUND(SUM(l_quantity), 6) AS sum_qty,
-            ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-            ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-            ROUND(AVG(l_quantity), 6) AS avg_qty,
+            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_qty,
+            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_base_price,
+            ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_disc_price,
+            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
             COUNT(*) AS count_order
           FROM lineitem
           WHERE l_shipdate <= DATE '1998-09-02'
           GROUP BY l_returnflag, l_linestatus
         """,
         "tpch_join_agg": """
-          SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 6) AS revenue
+          SELECT n_name, COUNT(*) AS n_orders,
+                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 6) AS revenue
           FROM orders
           JOIN customer ON o_custkey = c_custkey
           JOIN nation ON c_nationkey = n_nationkey
@@ -1040,14 +1050,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ev_daily_counts": """
           SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
-                 ROUND(SUM(value), 6) AS total_value
+                 ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS total_value
           FROM events GROUP BY 1, 2
         """,
         "ev_topk_users": """
           SELECT user_id, total, rank FROM (
             SELECT user_id, total,
               CAST(ROW_NUMBER() OVER (ORDER BY total DESC, user_id ASC) AS INT) AS rank
-            FROM (SELECT user_id, ROUND(SUM(value), 6) AS total FROM events GROUP BY user_id)
+            FROM (
+              SELECT user_id,
+                     ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS total
+              FROM events GROUP BY user_id
+            )
           ) WHERE rank <= 5
         """,
     }
