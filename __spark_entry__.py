@@ -563,6 +563,20 @@ def q_kg_term_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # rows-only queries (no SQL oracle: python-UDF or float-order dependent)
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 8 deterministic centroids (the vectors with vec_id < 8),
+    single-probe cell search, exact cosine top-3 within the cell."""
+    from pmcanalysis_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    out = ivf_topk(emb, cents, k=3)
+    return out.select("query_id", "item_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmcanalysis_spark.operators.similarity import lsh_bucketed_topk
 
@@ -686,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_term_canonical": q_kg_term_canonical,
         "kg_sent_occurrence": q_kg_sent_occurrence,
         "kg_sent_pairs": q_kg_sent_pairs,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "link_scores": q_link_scores,
         "dd_exact_dedup": q_dd_exact_dedup,
@@ -1029,6 +1044,36 @@ def oracle_sql() -> dict[str, str]:
           ) WHERE rank <= 3
         """,
         # double sums go through DECIMAL(28,6) (exact, order-independent)
+        "sim_ivf_topk": """
+          WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+          ),
+          c AS (SELECT vec_id AS cell, vec AS cvec FROM v WHERE vec_id < 8),
+          assign AS (
+            SELECT vec_id, vec, cell FROM (
+              SELECT v.vec_id, v.vec, c.cell,
+                ROW_NUMBER() OVER (
+                  PARTITION BY v.vec_id
+                  ORDER BY list_dot_product(v.vec, c.cvec)
+                        / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                    c.cell ASC
+                ) AS rn
+              FROM v CROSS JOIN c
+            ) WHERE rn = 1
+          ),
+          pairs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+              list_dot_product(a.vec, b.vec)
+              / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
+            FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          )
+          SELECT query_id, item_id, ROUND(cosine, 6) AS cosine, rank FROM (
+            SELECT query_id, item_id, cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS INT) AS rank
+            FROM pairs
+          ) WHERE rank <= 3
+        """,
         "tpch_pricing_summary": """
           SELECT l_returnflag, l_linestatus,
             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_qty,

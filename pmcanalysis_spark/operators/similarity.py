@@ -91,6 +91,73 @@ def lsh_bucket(vec_col, dim: int, num_planes: int = 8):
     return bucket
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (argmin L2 == argmax dot for unit-ish cells; we use max cosine for
+    stability). Centroids are a small driver-side list (typically k-means
+    output; any deterministic pick works for the index structure itself) —
+    the assignment is pure column algebra, one narrow pass.
+    Returns (id, vec, cell)."""
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("norm", _norm(F.col("vec")))
+    best_cell = None
+    best_score = None
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        cnorm = float(sum(x * x for x in cvec)) ** 0.5 or 1.0
+        score = _dot(F.col("vec"), carr) / (F.col("norm") * F.lit(cnorm))
+        if best_score is None:
+            best_cell, best_score = F.lit(cid), score
+        else:
+            cond = score > best_score
+            best_cell = F.when(cond, F.lit(cid)).otherwise(best_cell)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return v.select("id", "vec", best_cell.alias("cell"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """IVF ANN (the scale path alongside LSH): candidates share a coarse
+    cell; exact cosine + top-k within the cell. Work ∝ Σ cell_size², not
+    n² — and the cell join shuffles on the cell id, a bounded-cardinality
+    key whose skew AQE splits. Recall < 1 by design (single-probe); union
+    with neighboring-cell probes for higher recall."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col("id").alias("query_id"), F.col("vec").alias("query_vec"), "cell"
+    )
+    b = assigned.select(
+        F.col("id").alias("item_id"), F.col("vec").alias("item_vec"), "cell"
+    )
+    pairs = a.join(b, "cell").filter(F.col("query_id") != F.col("item_id"))
+    scored = pairs.select(
+        "query_id",
+        "item_id",
+        (
+            _dot(F.col("query_vec"), F.col("item_vec"))
+            / (_norm(F.col("query_vec")) * _norm(F.col("item_vec")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", F.col("cosine"), "rank")
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -30,6 +30,20 @@ def test_cosine_value_exact(spark):
     assert math.isclose(c15, -1.0)
 
 
+def test_ivf_assignment_and_topk(spark):
+    from pmcanalysis_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = _emb(spark)
+    # centroids: axis vectors -> cells are the axes
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    cells = {r.id: r.cell for r in ivf_assign(emb, cents).collect()}
+    assert cells[1] == 0 and cells[2] == 0      # x-ish vectors
+    assert cells[3] == 1 and cells[4] == 1      # y-ish vectors
+    out = ivf_topk(emb, cents, k=1).collect()
+    nearest = {r.query_id: r.item_id for r in out}
+    assert nearest[1] == 2 and nearest[3] == 4  # within-cell exact search
+
+
 def test_lsh_buckets_parallel_vectors_together(spark):
     out = lsh_bucketed_topk(_emb(spark), dim=4, num_planes=4, k=3).collect()
     # identical-direction vectors always share every hyperplane sign
