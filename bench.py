@@ -27,9 +27,12 @@ BENCH_QUERIES = [
     "kg_closure_docfreq",
     "kg_topk_pairs",
     "kg_connected_components",
+    "kg_sent_pairs",
     "dd_exact_dedup",
     "dd_minhash",
     "dd_simhash",
+    "dd_embedding_neardup",
+    "sim_ivf_topk",
     "ts_token_count",
     "ts_quality",
     "ts_lang_id",

@@ -191,6 +191,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a_id, b_id, cosine) where
     cosine >= threshold, a_id < b_id. Brute-force baseline (correctness
@@ -201,7 +202,7 @@ def embedding_neardup_pairs(
     v = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("norm", _norm(F.col("vec")))
+    ).withColumn("norm", _norm(F.col("vec"), dim))
     a = v.select(F.col("id").alias("a_id"), F.col("vec").alias("va"), F.col("norm").alias("na_"))
     b = v.select(F.col("id").alias("b_id"), F.col("vec").alias("vb"), F.col("norm").alias("nb_"))
     return (
@@ -210,7 +211,7 @@ def embedding_neardup_pairs(
         .select(
             "a_id",
             "b_id",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("na_") * F.col("nb_"))).alias("cosine"),
+            (_dot(F.col("va"), F.col("vb"), dim) / (F.col("na_") * F.col("nb_"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
