@@ -62,6 +62,7 @@ HIER: list[tuple[str, str]] = (
 
 
 def _lex_df(spark: SparkSession) -> DataFrame:
+    _ensure_confs(spark)
     return spark.createDataFrame(LEX, "name string, term_id string")
 
 
@@ -77,11 +78,21 @@ def _hier_values() -> str:
     return ", ".join(f"('{t}', '{a}')" for t, a in HIER)
 
 
+def _ensure_confs(spark: SparkSession) -> None:
+    """The driver supplies its own SparkSession; pin the runtime confs the
+    queries' semantics depend on (Spark 4 defaults ANSI ON, which turns the
+    intentional x/0 -> NULL of the score math into an exception)."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_confs(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
