@@ -31,7 +31,9 @@ def test_npmi_bounded_above_by_one(c):
     t, x, y, xy = c
     v = npmi_py(t, x, y, xy)
     if not math.isnan(v) and not math.isinf(v):
-        assert v <= 1.0 + 1e-12
+        # mathematically npmi <= 1; the float quotient of two ln() values
+        # can overshoot by a few ulps (hypothesis found +4.3e-12)
+        assert v <= 1.0 + 1e-9
 
 
 @given(contingency(), st.integers(min_value=1, max_value=100))
