@@ -42,6 +42,18 @@ class PipelineConfig:
     extra: dict = field(default_factory=dict)
 
 
+def ingest(web_pages: DataFrame, range_partitions: int | None = None) -> DataFrame:
+    """Ingest normalization (SURVEY.md §7.2 step 7): optional explicit
+    range partitioning on url so (a) every downstream partition covers a
+    contiguous url range — the lineage rows' (min_key, max_key) become
+    disjoint, resumable spans — and (b) pages from one site co-locate
+    (compresses better, and per-site skew is visible per partition).
+    Skip when the Iceberg table is already sorted/partitioned on url."""
+    if range_partitions:
+        return web_pages.repartitionByRange(range_partitions, F.col("url"))
+    return web_pages
+
+
 def extract_stage(web_pages: DataFrame, lang: str | None = "en") -> DataFrame:
     """web_pages -> extracted(url, text). Column pruning means the parquet
     scan reads only (url, html, lang) here — ``text``/``warc_ts`` never leave

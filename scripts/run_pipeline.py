@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--b-prefix", action="append", default=None)
     ap.add_argument("--pred", default="has-phenotype")
     ap.add_argument("--cores", type=int, default=None, help="local mode cores (ignored under a real master)")
+    ap.add_argument("--range-partitions", type=int, default=None,
+                    help="repartitionByRange(url) on ingest (disjoint lineage key ranges)")
     args = ap.parse_args(argv)
 
     import hashlib
@@ -112,6 +114,10 @@ def main(argv: list[str] | None = None) -> int:
         b_prefixes=tuple(args.b_prefix or ["HP:", "MP:"]),
         pred=args.pred,
     )
+
+    from pmcanalysis_spark.pipeline import ingest
+
+    web_pages = ingest(web_pages, args.range_partitions)
 
     t0 = time.perf_counter()
     triples = build_triples(web_pages, lex, hierarchy=hier, cfg=cfg)
