@@ -16,8 +16,9 @@ Scale notes: the pairwise scorer self-joins within author_key — groups are
 small (papers per author name), so the join explodes only within groups and
 the shuffle key is author_key (salt if a "j smith" mega-key ever shows up —
 the group cross-product is capped defensively via max_group_size). Label
-propagation converges in O(log d) iterations for diameter d; each iteration
-is one shuffle; we localCheckpoint every few iterations to truncate lineage.
+propagation with the pointer-doubling compression step converges in
+O(log d) iterations for diameter d; each iteration is two shuffles; we
+localCheckpoint every few iterations to truncate lineage.
 """
 
 from __future__ import annotations
@@ -33,18 +34,65 @@ def _jaccard(a, b):
     return F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
 
 
-def similarity_edges(
+def author_records_from_raw(raw: DataFrame) -> DataFrame:
+    """Raw article records -> per-(doc, author) feature rows.
+
+    Mirrors the feature extraction of /root/reference/Author2PMID.groovy:51-87:
+    one row per (pmid, author name) with the author's coauthor set (all the
+    article's authors minus this one), mesh set (descriptor + qualifier,
+    already merged upstream into one array), title tokens split on whitespace,
+    and affiliation tokens split on whitespace (all LinkedHashSet semantics ->
+    array_distinct).
+
+    Input schema: (doc_id, authors array<string>, title string,
+    mesh array<string>, affiliation string).
+    Output schema matches AUTHOR_RECORDS minus true_entity:
+    (doc_id, author_key, coauthors, mesh, title_tokens, affiliation_tokens).
+
+    Narrow (no shuffle): one explode + per-row array ops, all JVM-side.
+    """
+    tok = lambda c: F.array_distinct(
+        F.filter(F.split(F.coalesce(c, F.lit("")), r"\s+"), lambda x: x != "")
+    )
+    return (
+        raw.select(
+            "doc_id",
+            F.array_distinct(F.col("authors")).alias("_authors"),
+            tok(F.col("title")).alias("title_tokens"),
+            F.array_distinct(F.coalesce(F.col("mesh"), F.array())).alias("mesh"),
+            tok(F.col("affiliation")).alias("affiliation_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.explode("_authors").alias("author_key"),
+            F.col("_authors"),
+            "title_tokens",
+            "mesh",
+            "affiliation_tokens",
+        )
+        .select(
+            "doc_id",
+            "author_key",
+            # coauthors = authors minus the shared author (Author2PMID.groovy:13)
+            F.array_remove(F.col("_authors"), F.col("author_key")).alias("coauthors"),
+            "mesh",
+            "title_tokens",
+            "affiliation_tokens",
+        )
+    )
+
+
+def pair_scores(
     records: DataFrame,
-    coauthor_thresh: float = 0.0,
-    mesh_thresh: float = 0.1,
-    title_thresh: float = 0.1,
-    affil_thresh: float = 0.3,
     max_group_size: int = 10000,
 ) -> DataFrame:
-    """author_records -> edges(src, dst) where any feature clears threshold.
+    """author_records -> all within-key doc pairs with the four Jaccard
+    features and the F6 combined score.
 
-    Input schema: (doc_id, author_key, coauthors, mesh, title_tokens,
-    affiliation_tokens). Self-join within author_key with src < dst.
+    F6 (/root/reference/Author2PMID.groovy:30-40): simm = geometric mean of
+    the NONZERO features only — pow(prod(nonzero), 1/count(nonzero)), 0 when
+    all four are zero. Computed as exp(mean(ln x)) over the filtered array:
+    pure Column algebra, stays inside codegen.
     """
     wcount = F.count("*").over(Window.partitionBy("author_key"))
     bounded = records.withColumn("_gs", wcount).filter(F.col("_gs") <= max_group_size).drop("_gs")
@@ -69,13 +117,54 @@ def similarity_edges(
     me = _jaccard(F.col("mesh_a"), F.col("mesh_b"))
     ti = _jaccard(F.col("ti_a"), F.col("ti_b"))
     af = _jaccard(F.col("af_a"), F.col("af_b"))
-    similar = (
-        (co > coauthor_thresh)
-        | (me > mesh_thresh)
-        | (ti > title_thresh)
-        | (af > affil_thresh)
+    nonzero = F.filter(
+        F.array(F.col("coauthorscore"), F.col("meshscore"),
+                F.col("titlescore"), F.col("affiliationscore")),
+        lambda x: x > 0,
     )
-    return pairs.filter(similar).select("author_key", "src", "dst")
+    simm = F.when(F.size(nonzero) == 0, F.lit(0.0)).otherwise(
+        F.exp(
+            F.aggregate(nonzero, F.lit(0.0), lambda acc, x: acc + F.log(x))
+            / F.size(nonzero)
+        )
+    )
+    return (
+        pairs.select(
+            "author_key",
+            "src",
+            "dst",
+            co.alias("coauthorscore"),
+            me.alias("meshscore"),
+            ti.alias("titlescore"),
+            af.alias("affiliationscore"),
+        )
+        .withColumn("simm", simm)
+    )
+
+
+def similarity_edges(
+    records: DataFrame,
+    coauthor_thresh: float = 0.0,
+    mesh_thresh: float = 0.1,
+    title_thresh: float = 0.1,
+    affil_thresh: float = 0.3,
+    max_group_size: int = 10000,
+) -> DataFrame:
+    """author_records -> edges(src, dst, simm) where any feature clears its
+    threshold (the reference's attach condition, Author2PMID.groovy:134-144).
+
+    Input schema: (doc_id, author_key, coauthors, mesh, title_tokens,
+    affiliation_tokens). Self-join within author_key with src < dst. The
+    simm column (F6 geometric mean) rides along as the edge weight.
+    """
+    scored = pair_scores(records, max_group_size=max_group_size)
+    similar = (
+        (F.col("coauthorscore") > coauthor_thresh)
+        | (F.col("meshscore") > mesh_thresh)
+        | (F.col("titlescore") > title_thresh)
+        | (F.col("affiliationscore") > affil_thresh)
+    )
+    return scored.filter(similar).select("author_key", "src", "dst", "simm")
 
 
 def connected_components(
@@ -83,13 +172,19 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iter: int = 50,
     checkpoint_every: int = 5,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
-    """edges(src, dst) -> (id, component) by iterative min-label propagation.
+    """edges(src, dst) -> (id, component) by iterative min-label propagation
+    with pointer-doubling compression.
 
-    Each iteration: every vertex adopts the min label among itself and its
-    neighbors (one join + groupBy agg = two shuffles); converges when no
-    label changes. Driver loop, executor data — nothing is collected except
+    Each iteration: (1) every vertex adopts the min label among itself and
+    its neighbors, then (2) every vertex shortcuts through its label's own
+    label (component values are vertex ids, so the label table doubles as
+    the lookup). Step 2 is what makes convergence O(log diameter) rather
+    than O(diameter) — a chain of length 2^k resolves in ~k iterations.
+    Converges when no label changes; raises RuntimeError if max_iter is
+    exhausted without convergence (silent wrong components are worse than a
+    loud failure). Driver loop, executor data — nothing is collected except
     the 1-row convergence count.
 
     Small-graph fast path: when the EDGE count is under ``driver_threshold``
@@ -135,18 +230,32 @@ def connected_components(
     labels = vertices.select("id", F.col("id").alias("component"))
     sym = sym.persist()
     labels = labels.persist()
+    converged = False
     for i in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer doubling: shortcut each label through its own label
+        lk = stepped.select(
+            F.col("id").alias("_cid"), F.col("component").alias("_cc")
+        )
+        new_labels = (
+            stepped.join(lk, stepped.component == lk._cid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_cc"), F.col("component"))
                 ).alias("component"),
             )
         )
@@ -164,8 +273,14 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "labels would be wrong — raise max_iter"
+        )
     return labels
 
 
@@ -233,19 +348,36 @@ def canonicalize_authors(records: DataFrame, **thresholds) -> DataFrame:
     entity_id = author_key + '#' + min doc_id of the component (the minted
     IRI analog of Author2PMID.groovy:163-167). Singleton docs (no similar
     neighbor) each get their own entity.
+
+    The component graph is namespaced PER author_key — vertex =
+    author_key|doc_id — because the reference clusters each author name's
+    pmid set independently (Author2PMID.groovy:108). A multi-author paper
+    appears under several keys; without the namespace, one key's edges would
+    bridge another key's docs and silently merge distinct people.
     """
     edges = similarity_edges(records, **thresholds)
-    verts = records.select(F.col("doc_id").alias("id")).distinct()
-    comp = connected_components(edges.select("src", "dst"), vertices=verts)
-    return (
-        records.join(comp, records.doc_id == comp.id, "left")
-        .select(
-            "doc_id",
-            "author_key",
-            F.concat(
-                F.col("author_key"),
-                F.lit("#"),
-                F.coalesce(F.col("component"), F.col("doc_id")),
-            ).alias("entity_id"),
-        )
+    nedges = edges.select(
+        F.concat("author_key", F.lit("|"), "src").alias("src"),
+        F.concat("author_key", F.lit("|"), "dst").alias("dst"),
+    )
+    verts = records.select(
+        F.concat("author_key", F.lit("|"), "doc_id").alias("id")
+    ).distinct()
+    comp = connected_components(nedges, vertices=verts)
+    joined = records.join(
+        comp,
+        F.concat(records.author_key, F.lit("|"), records.doc_id) == comp.id,
+        "left",
+    )
+    # component = "<author_key>|<min doc_id>"; strip the key prefix by length
+    # (robust even if doc_id itself contains '|')
+    comp_doc = F.expr("substring(component, length(author_key) + 2)")
+    return joined.select(
+        "doc_id",
+        "author_key",
+        F.concat(
+            F.col("author_key"),
+            F.lit("#"),
+            F.coalesce(comp_doc, F.col("doc_id")),
+        ).alias("entity_id"),
     )

@@ -4,6 +4,8 @@ reference's greedy clustering (Author2PMID.groovy:126-159) lacks."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pmcanalysis_spark.canonicalize import canonicalize_authors, connected_components
 from pmcanalysis_spark.fixtures import build_author_records
 from pmcanalysis_spark.schemas import AUTHOR_RECORDS
@@ -63,3 +65,118 @@ def test_connected_components_distributed_path_matches_fast_path(spark):
     }
     assert fast == dist
     assert fast["z"] == "z"  # isolated vertex labels itself
+
+
+def test_multi_key_doc_does_not_bridge(spark):
+    """Regression (ADVICE r1, high): a paper shared by two author keys must
+    not let one key's edges merge the other key's distinct entities.
+
+    smith has dissimilar docs A and C; jones (a coauthor on all three) has
+    similar edges A-B-C. Without per-key vertex namespacing, jones's edges
+    would merge smith#A with smith#C."""
+    rows = [
+        # smith's view: A and C share nothing (no coauthor overlap after
+        # removing smith... except jones appears on all, so give smith rows
+        # empty coauthor sets and disjoint features)
+        {"doc_id": "A", "author_key": "smith", "coauthors": [],
+         "mesh": ["m1"], "title_tokens": ["t1"], "affiliation_tokens": ["u1"],
+         "true_entity": None},
+        {"doc_id": "C", "author_key": "smith", "coauthors": [],
+         "mesh": ["m2"], "title_tokens": ["t2"], "affiliation_tokens": ["u2"],
+         "true_entity": None},
+        # jones's view: A-B and B-C similar (shared coauthor 'kim')
+        {"doc_id": "A", "author_key": "jones", "coauthors": ["kim"],
+         "mesh": [], "title_tokens": ["x1"], "affiliation_tokens": ["v1"],
+         "true_entity": None},
+        {"doc_id": "B", "author_key": "jones", "coauthors": ["kim"],
+         "mesh": [], "title_tokens": ["x2"], "affiliation_tokens": ["v2"],
+         "true_entity": None},
+        {"doc_id": "C", "author_key": "jones", "coauthors": ["kim"],
+         "mesh": [], "title_tokens": ["x3"], "affiliation_tokens": ["v3"],
+         "true_entity": None},
+    ]
+    df = spark.createDataFrame(rows, AUTHOR_RECORDS)
+    out = {(r["author_key"], r["doc_id"]): r["entity_id"]
+           for r in canonicalize_authors(df).collect()}
+    # jones's three docs are one entity
+    assert out[("jones", "A")] == out[("jones", "B")] == out[("jones", "C")]
+    # smith's A and C stay distinct people
+    assert out[("smith", "A")] != out[("smith", "C")]
+    assert out[("smith", "A")].startswith("smith#")
+
+
+def test_pair_scores_geomean_matches_scalar():
+    """F6 golden: simm = pow(prod(nonzero features), 1/len(nonzero))
+    (Author2PMID.groovy:30-40), 0 when all features are zero."""
+    import math
+
+    def scalar_simm(feats):
+        nz = [f for f in feats if f > 0]
+        if not nz:
+            return 0.0
+        p = 1.0
+        for f in nz:
+            p *= f
+        return math.pow(p, 1.0 / len(nz))
+
+    assert scalar_simm([0, 0, 0, 0]) == 0.0
+    assert abs(scalar_simm([0.5, 0, 0, 0]) - 0.5) < 1e-12
+    assert abs(scalar_simm([0.5, 0.5, 0, 0]) - 0.5) < 1e-12
+    assert abs(scalar_simm([0.25, 0.5, 1.0, 0]) - (0.125 ** (1 / 3))) < 1e-12
+
+
+def test_pair_scores_simm_on_spark(spark):
+    import math
+    from pmcanalysis_spark.canonicalize import pair_scores
+
+    rows = [
+        {"doc_id": "A", "author_key": "k", "coauthors": ["x", "y"],
+         "mesh": ["m1", "m2"], "title_tokens": ["t", "u"],
+         "affiliation_tokens": ["z"], "true_entity": None},
+        {"doc_id": "B", "author_key": "k", "coauthors": ["x"],
+         "mesh": ["m3"], "title_tokens": ["t"],
+         "affiliation_tokens": ["w"], "true_entity": None},
+    ]
+    df = spark.createDataFrame(rows, AUTHOR_RECORDS)
+    [r] = pair_scores(df).collect()
+    co, me, ti, af = 1 / 2, 0.0, 1 / 2, 0.0
+    assert abs(r["coauthorscore"] - co) < 1e-12
+    assert abs(r["meshscore"] - me) < 1e-12
+    assert abs(r["titlescore"] - ti) < 1e-12
+    assert abs(r["affiliationscore"] - af) < 1e-12
+    expected = math.pow(co * ti, 1 / 2)
+    assert abs(r["simm"] - expected) < 1e-9
+
+
+def test_author_records_from_raw_to_clusters(spark):
+    """Raw (doc_id, authors, title, mesh, affiliation) strings through
+    feature extraction (Author2PMID.groovy:51-87) to clusters."""
+    from pmcanalysis_spark.canonicalize import author_records_from_raw
+
+    raw = [
+        ("P1", ["a smith", "b jones"], "deep parsing of text",
+         ["Parsing", "Text"], "Univ of X"),
+        ("P2", ["a smith", "b jones"], "more deep parsing",
+         ["Parsing"], "Univ of X"),
+        ("P3", ["a smith", "c kim"], "unrelated chemistry work",
+         ["Chemistry"], "Inst of Y"),
+    ]
+    df = spark.createDataFrame(
+        raw, "doc_id string, authors array<string>, title string, "
+             "mesh array<string>, affiliation string")
+    recs = author_records_from_raw(df)
+    by = {(r["doc_id"], r["author_key"]): r for r in recs.collect()}
+    assert len(by) == 6  # 3 docs x 2 authors
+    r = by[("P1", "a smith")]
+    assert r["coauthors"] == ["b jones"]
+    assert r["title_tokens"] == ["deep", "parsing", "of", "text"]
+    assert r["affiliation_tokens"] == ["Univ", "of", "X"]
+    assert sorted(r["mesh"]) == ["Parsing", "Text"]
+    # smith on P1/P2 is one person (shared coauthor jones, shared title
+    # tokens, same affiliation); P3 smith is someone else
+    ent = {(r["author_key"], r["doc_id"]): r["entity_id"]
+           for r in canonicalize_authors(
+               recs.withColumn("true_entity", F.lit(None).cast("string"))
+           ).collect()}
+    assert ent[("a smith", "P1")] == ent[("a smith", "P2")]
+    assert ent[("a smith", "P1")] != ent[("a smith", "P3")]
