@@ -674,6 +674,112 @@ def q_ev_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S6 production side: OBO -> is_a edges -> transitive closure (builder)
+# ---------------------------------------------------------------------------
+
+# direct is_a edges; their transitive closure equals HIER. The redundant
+# OP:0000002 -> OP:0000000 edge makes a diamond (exercises closure dedup).
+OBO_IS_A: list[tuple[str, str]] = (
+    [("OP:0000001", "OP:0000010"), ("OP:0000002", "OP:0000010"),
+     ("OP:0000002", "OP:0000000"), ("OP:0000010", "OP:0000000")]
+    + [(f"OP:000000{i}", "OP:0000000") for i in range(3, 10)]
+    + [("DS:0000001", "DS:0000010"), ("DS:0000002", "DS:0000010"),
+       ("DS:0000010", "DS:0000000")]
+    + [(f"DS:000000{i}", "DS:0000000") for i in range(3, 10)]
+)
+
+# interior/root terms get names outside the documents vocabulary;
+# DS:0000003 gets synonym "batch" (= DS:0000004's name) to exercise the
+# name->set multimap through the OBO path (J1 semantics).
+_OBO_EXTRA = {
+    "OP:0000000": "oproot", "OP:0000010": "opmid",
+    "DS:0000000": "dsroot", "DS:0000010": "dsmid",
+}
+
+
+def _obo_text() -> str:
+    """Literal OBO document — the single source for the Spark parse AND the
+    oracle VALUES; includes an obsolete stanza (skipped for edges)."""
+    by_term: dict[str, str] = dict(_OBO_EXTRA)
+    for n, t in LEX:
+        by_term[t] = n
+    parents: dict[str, list[str]] = {}
+    for c, p in OBO_IS_A:
+        parents.setdefault(c, []).append(p)
+    out = ["format-version: 1.2", ""]
+    for t in sorted(by_term):
+        out.append("[Term]")
+        out.append(f"id: {t}")
+        out.append(f"name: {by_term[t]}")
+        if t == "DS:0000003":
+            out.append('synonym: "batch" EXACT []')
+        for p in parents.get(t, ()):
+            out.append(f"is_a: {p} ! {by_term.get(p, '')}")
+        out.append("")
+    out += [
+        "[Term]",
+        "id: OP:0000099",
+        "name: obsoletescan",
+        "is_a: OP:0000000 ! oproot",
+        "is_obsolete: true",
+        "",
+        "[Typedef]",
+        "id: part_of",
+        "name: part of",
+        "",
+    ]
+    return "\n".join(out)
+
+
+def _obo_edge_values() -> str:
+    return ", ".join(f"('{c}', '{p}')" for c, p in OBO_IS_A)
+
+
+def _obo_lex_values() -> str:
+    from pmcanalysis_spark.sources.obo import parse_obo_text
+
+    rows = [
+        (n, t) for n, t, k in parse_obo_text(_obo_text()) if k in ("name", "synonym")
+    ]
+    return ", ".join(f"('{n}', '{t}')" for n, t in rows)
+
+
+def q_kg_obo_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 builder: OBO text -> is_a edges -> strict transitive closure.
+
+    The Spark side is the driver-side BFS (sources/obo.py:transitive_closure,
+    mirroring ELK's flattened closure, ref FindDiseasePhenotypes2.groovy:
+    112-139); the oracle recomputes it with a recursive CTE in DuckDB."""
+    from pmcanalysis_spark.sources.obo import hierarchy_from_obo
+
+    _ensure_confs(spark)
+    return hierarchy_from_obo(spark, _obo_text())
+
+
+def q_kg_obo_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S6 end-to-end: lexicon AND hierarchy both built from the OBO file,
+    then the flagship closure-docfreq over documents — what a reference user
+    runs from an ontology download."""
+    from pmcanalysis_spark.operators.cooccur import close_over_hierarchy
+    from pmcanalysis_spark.sources.obo import hierarchy_from_obo, parse_obo_text
+
+    text = _obo_text()
+    lex_rows = [(n, t) for n, t, k in parse_obo_text(text) if k in ("name", "synonym")]
+    lex = spark.createDataFrame(lex_rows, "name string, term_id string")
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    m = (
+        toks.join(F.broadcast(lex), toks.tok == F.col("name"))
+        .select("term_id", "doc_id")
+        .distinct()
+    )
+    closed = close_over_hierarchy(m, hierarchy_from_obo(spark, text))
+    return closed.groupBy("term_id").agg(F.countDistinct("doc_id").alias("df"))
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -689,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pair_counts": q_kg_pair_counts,
         "kg_triples_scored": q_kg_triples_scored,
         "kg_closure_docfreq": q_kg_closure_docfreq,
+        "kg_obo_closure": q_kg_obo_closure,
+        "kg_obo_docfreq": q_kg_obo_docfreq,
         "kg_hierarchy_rollup": q_kg_hierarchy_rollup,
         "kg_leaf_terms": q_kg_leaf_terms,
         "kg_topk_pairs": q_kg_topk_pairs,
@@ -753,6 +861,43 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT h.ancestor_id AS term_id, m.doc_id
             FROM mentions m JOIN hier h ON h.term_id = m.term_id
+          )
+          SELECT term_id, COUNT(DISTINCT doc_id) AS df FROM closed GROUP BY term_id
+        """,
+        "kg_obo_closure": f"""
+          WITH RECURSIVE
+          edges(child, parent) AS (VALUES {_obo_edge_values()}),
+          anc(term_id, ancestor_id) AS (
+            SELECT child, parent FROM edges
+            UNION
+            SELECT a.term_id, e.parent
+            FROM anc a JOIN edges e ON e.child = a.ancestor_id
+          )
+          SELECT DISTINCT term_id, ancestor_id FROM anc
+          WHERE term_id <> ancestor_id
+        """,
+        "kg_obo_docfreq": f"""
+          WITH RECURSIVE
+          olex(name, term_id) AS (VALUES {_obo_lex_values()}),
+          edges(child, parent) AS (VALUES {_obo_edge_values()}),
+          anc(term_id, ancestor_id) AS (
+            SELECT child, parent FROM edges
+            UNION
+            SELECT a.term_id, e.parent
+            FROM anc a JOIN edges e ON e.child = a.ancestor_id
+          ),
+          toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+          ),
+          m AS (
+            SELECT DISTINCT toks.doc_id, olex.term_id
+            FROM toks JOIN olex ON olex.name = toks.tok AND toks.tok <> ''
+          ),
+          closed AS (
+            SELECT term_id, doc_id FROM m
+            UNION
+            SELECT a.ancestor_id AS term_id, m.doc_id
+            FROM m JOIN anc a ON a.term_id = m.term_id
           )
           SELECT term_id, COUNT(DISTINCT doc_id) AS df FROM closed GROUP BY term_id
         """,

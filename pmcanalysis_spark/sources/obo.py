@@ -1,4 +1,4 @@
-"""OBO ontology lexicon source (SURVEY.md S5).
+"""OBO ontology lexicon + hierarchy source (SURVEY.md S5/S6).
 
 Line-oriented parse of ``id:``/``name:``/``synonym:``/``xref:`` stanzas into
 (name, term_id, kind) rows — the semantics of the reference's
@@ -7,8 +7,18 @@ Line-oriented parse of ``id:``/``name:``/``synonym:``/``xref:`` stanzas into
 quote (F10), names are lowercased (the NER scripts' convention,
 ParseMedline2.groovy:89,96,104), a name maps to a *set* of ids.
 
-Ontology files are small (≤ tens of MB) so this parses on the driver and
-returns rows for a broadcast dimension — no distributed scan needed.
+S6 production side: ``is_a:`` stanza lines are the subclass axioms; the
+flattened transitive closure (what the reference gets from ELK's
+``getSubClasses(...).getFlattened()``, FindDiseasePhenotypes2.groovy:112-139
+/ ``getSuperClasses`` at ParseMedline.groovy:151-161) is computed here with
+a driver-side BFS and handed to ``close_over_hierarchy`` /
+``detect_doc_terms`` as the broadcast ``hierarchy(term_id, ancestor_id)``
+dimension. The closure is STRICT (a term is not its own ancestor) and
+skips ``is_obsolete: true`` stanzas.
+
+Ontology files are small (≤ tens of MB, ~1e5-1e6 edges) so this parses and
+closes on the driver and returns rows for a broadcast dimension — no
+distributed scan needed. (At 100 TB the *corpus* scales; ontologies don't.)
 """
 
 from __future__ import annotations
@@ -46,6 +56,116 @@ def parse_obo_text(text: str) -> list[tuple[str, str, str]]:
 def parse_obo_file(path: str) -> list[tuple[str, str, str]]:
     with open(path, encoding="utf-8") as f:
         return parse_obo_text(f.read())
+
+
+def parse_obo_is_a(text: str) -> list[tuple[str, str]]:
+    """OBO text -> direct subclass edges [(child_id, parent_id)].
+
+    Parses ``is_a: PARENT ! optional name`` lines inside [Term] stanzas;
+    stanzas marked ``is_obsolete: true`` contribute no edges (obsolete terms
+    keep an is_a trail in some ontologies but ELK never classifies them).
+    Duplicate edges dedup; order is first-seen (deterministic).
+    """
+    edges: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
+    current_id: str | None = None
+    in_term = False
+    pending: list[str] = []  # parents seen before knowing obsolete status
+
+    def flush():
+        nonlocal pending
+        if current_id is not None:
+            for p in pending:
+                e = (current_id, p)
+                if e not in seen:
+                    seen.add(e)
+                    edges.append(e)
+        pending = []
+
+    obsolete = False
+    for raw in text.splitlines():
+        line = raw.strip()
+        if line.startswith("[") and line.endswith("]"):
+            if not obsolete:
+                flush()
+            pending = []
+            in_term = line == "[Term]"
+            current_id = None
+            obsolete = False
+        elif not in_term:
+            continue
+        elif line.startswith("id:"):
+            current_id = line[3:].strip()
+        elif line.startswith("is_a:"):
+            target = line[5:].split("!", 1)[0].strip()
+            if target:
+                pending.append(target)
+        elif line.startswith("is_obsolete:") and line[12:].strip() == "true":
+            obsolete = True
+    if not obsolete:
+        flush()
+    return edges
+
+
+def transitive_closure(edges: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Direct edges [(child, parent)] -> strict transitive closure
+    [(term_id, ancestor_id)], the flattened-superclass set per term (the
+    shape ELK returns, ref ParseMedline.groovy:151-161).
+
+    Iterative DFS with memoization; cycle-safe (a cycle member's ancestor
+    set is the union along the cycle, never including a self-loop unless the
+    input had one). Output sorted for determinism.
+    """
+    parents: dict[str, list[str]] = {}
+    for c, p in edges:
+        parents.setdefault(c, []).append(p)
+    anc: dict[str, set[str]] = {}
+
+    def ancestors_of(start: str) -> set[str]:
+        # iterative post-order so deep ontologies don't hit the recursion limit
+        stack = [(start, iter(parents.get(start, ())))]
+        on_stack = {start}
+        while stack:
+            node, it = stack[-1]
+            advanced = False
+            for p in it:
+                if p in anc:
+                    continue
+                if p in on_stack:  # cycle: defer, union resolves below
+                    continue
+                stack.append((p, iter(parents.get(p, ()))))
+                on_stack.add(p)
+                advanced = True
+                break
+            if not advanced:
+                s: set[str] = set()
+                for p in parents.get(node, ()):
+                    s.add(p)
+                    s |= anc.get(p, set())
+                s.discard(node)
+                anc[node] = s
+                stack.pop()
+                on_stack.discard(node)
+        return anc[start]
+
+    out: list[tuple[str, str]] = []
+    for term in sorted(parents):
+        for a in sorted(ancestors_of(term)):
+            out.append((term, a))
+    return out
+
+
+def hierarchy_from_obo(spark, text: str | None = None, path: str | None = None):
+    """OBO source -> hierarchy(term_id, ancestor_id) DataFrame: the
+    production side of S6. Feed the result to
+    ``pipeline.build_kg``/``close_over_hierarchy`` as the closure dim."""
+    if text is None:
+        with open(path, encoding="utf-8") as f:  # type: ignore[arg-type]
+            text = f.read()
+    closure = transitive_closure(parse_obo_is_a(text))
+    if not closure:
+        return spark.createDataFrame([], "term_id string, ancestor_id string")
+    return spark.createDataFrame(closure, "term_id string, ancestor_id string")
 
 
 def curie_from_iri(iri: str) -> str:

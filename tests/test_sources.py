@@ -69,3 +69,129 @@ def test_to_ntriples(spark):
     )
     line = to_ntriples(df, "s", "p", "o").first()["ntriple"]
     assert line == "<http://a/1> <http://p/has> <http://b/2> ."
+
+
+OBO_HIER = """
+[Term]
+id: X:1
+name: root
+
+[Term]
+id: X:2
+name: mid
+is_a: X:1 ! root
+
+[Term]
+id: X:3
+name: leaf
+is_a: X:2 ! mid
+is_a: X:4 ! other parent
+
+[Term]
+id: X:4
+name: other
+is_a: X:1
+
+[Term]
+id: X:9
+name: dead
+is_a: X:1
+is_obsolete: true
+
+[Typedef]
+id: part_of
+name: part of
+"""
+
+
+def test_parse_obo_is_a():
+    from pmcanalysis_spark.sources.obo import parse_obo_is_a
+
+    edges = parse_obo_is_a(OBO_HIER)
+    assert ("X:2", "X:1") in edges
+    assert ("X:3", "X:2") in edges and ("X:3", "X:4") in edges
+    assert ("X:4", "X:1") in edges
+    # obsolete stanza contributes no edges
+    assert all(c != "X:9" for c, _ in edges)
+    assert len(edges) == 4
+
+
+def test_transitive_closure_diamond():
+    from pmcanalysis_spark.sources.obo import parse_obo_is_a, transitive_closure
+
+    clo = set(transitive_closure(parse_obo_is_a(OBO_HIER)))
+    # X:3 reaches X:1 through BOTH X:2 and X:4 — once in the closure
+    assert clo == {
+        ("X:2", "X:1"),
+        ("X:3", "X:2"), ("X:3", "X:4"), ("X:3", "X:1"),
+        ("X:4", "X:1"),
+    }
+
+
+def test_transitive_closure_cycle_safe():
+    from pmcanalysis_spark.sources.obo import transitive_closure
+
+    clo = set(transitive_closure([("a", "b"), ("b", "a"), ("b", "c")]))
+    # cycle members see each other + c; no self-loops
+    assert ("a", "b") in clo and ("b", "a") in clo
+    assert ("a", "c") in clo and ("b", "c") in clo
+    assert all(x != y for x, y in clo)
+
+
+def test_transitive_closure_deep_chain_no_recursion_limit():
+    from pmcanalysis_spark.sources.obo import transitive_closure
+
+    n = 5000
+    edges = [(f"t{i}", f"t{i+1}") for i in range(n)]
+    clo = transitive_closure(edges)
+    assert len(clo) == n * (n + 1) // 2
+
+
+def test_flagship_from_obo_fixture(spark):
+    """S6 end-to-end: literal OBO text -> lexicon + closure -> the flagship
+    closure-docfreq (a real user's path from an ontology download)."""
+    from pmcanalysis_spark.operators.cooccur import close_over_hierarchy
+    from pmcanalysis_spark.sources.obo import hierarchy_from_obo, parse_obo_text
+
+    obo = """
+[Term]
+id: D:1
+name: diseaseroot
+
+[Term]
+id: D:2
+name: flu
+is_a: D:1
+
+[Term]
+id: D:3
+name: cold
+synonym: "sniffles" EXACT []
+is_a: D:1
+"""
+    docs = spark.createDataFrame(
+        [("d1", "flu season"), ("d2", "a cold day"), ("d3", "sniffles again"),
+         ("d4", "nothing here")],
+        "doc_id string, text string",
+    )
+    lex = spark.createDataFrame(
+        [(n, t) for n, t, k in parse_obo_text(obo) if k in ("name", "synonym")],
+        "name string, term_id string",
+    )
+    from pyspark.sql import functions as F
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    m = (
+        toks.join(lex, toks.tok == lex.name)
+        .select("term_id", "doc_id")
+        .distinct()
+    )
+    hier = hierarchy_from_obo(spark, obo)
+    closed = close_over_hierarchy(m, hier)
+    df = {
+        r["term_id"]: r["df"]
+        for r in closed.groupBy("term_id")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+    # flu:1 doc, cold: d2 + synonym d3 = 2, root inherits union = 3
+    assert df == {"D:2": 1, "D:3": 2, "D:1": 3}
