@@ -61,6 +61,15 @@ HIER: list[tuple[str, str]] = (
 )
 
 
+# linking lexicon: LEX + multiword synonyms for the ambiguous 'spark' term so
+# candidate scores actually differentiate (context overlap with stream/window
+# favors DS:0000009; join/sort favors OP:0000009)
+LINK_LEX: list[tuple[str, str]] = LEX + [
+    ("spark stream window", "DS:0000009"),
+    ("spark join sort", "OP:0000009"),
+]
+
+
 def _lex_df(spark: SparkSession) -> DataFrame:
     _ensure_confs(spark)
     return spark.createDataFrame(LEX, "name string, term_id string")
@@ -589,15 +598,22 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (the bucket-join scale path). The md5-derived
+    planes are regenerated bit-for-bit by the oracle (hashlib vs Spark
+    md5/conv is itself part of the cross-check)."""
     from pmcanalysis_spark.operators.similarity import lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(emb, dim=64, num_planes=6, k=3)
+    out = lsh_bucketed_topk(emb, dim=64, num_planes=6, k=3)
+    return out.select(
+        "query_id", "item_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 def q_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-link scoring (north_star): rank the ambiguous 'spark' mention's
-    candidates by context tf-idf cosine. Python-UDF path -> rows-only check."""
+    candidates by context tf-idf cosine. The whole tf-idf profile + cosine
+    chain is re-expressed in the SQL oracle."""
     from pmcanalysis_spark.linking import link_mentions
 
     docs = _docs(spark, sf_dir)
@@ -607,7 +623,11 @@ def q_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("spark").alias("name"),
         F.col("text").alias("sentence"),
     )
-    return link_mentions(mentions, LEX)
+    out = link_mentions(mentions, LINK_LEX)
+    return out.select(
+        "url", "sent_idx", "name", "term_id",
+        F.round("link_score", 6).alias("link_score"), "link_rank",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -729,6 +749,35 @@ def _obo_text() -> str:
         "",
     ]
     return "\n".join(out)
+
+
+def _lsh_bucket_sql(num_planes: int = 6, dim: int = 64) -> str:
+    """DuckDB expression for the hyperplane-LSH bucket of column ``vec``.
+
+    Plane coefficients are regenerated here with hashlib md5 — the same
+    int(hex[:8],16)/2^32 - 0.5 mapping similarity._plane_component computes
+    with F.md5/F.conv, so Spark's JVM hash path is cross-checked against
+    CPython's. repr() literals round-trip doubles exactly; list_dot_product
+    sums left-to-right like the Column fold, so the sign bit agrees."""
+    import hashlib
+
+    parts = []
+    for p in range(num_planes):
+        coeffs = [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            / float(1 << 32)
+            - 0.5
+            for d in range(dim)
+        ]
+        lit = "[" + ", ".join(repr(c) for c in coeffs) + "]"
+        parts.append(
+            f"(CASE WHEN list_dot_product(vec, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+def _link_lex_values() -> str:
+    return ", ".join(f"('{n}', '{t}')" for n, t in LINK_LEX)
 
 
 def _obo_edge_values() -> str:
@@ -1229,6 +1278,93 @@ def oracle_sql() -> dict[str, str]:
               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS INT) AS rank
             FROM pairs
           ) WHERE rank <= 3
+        """,
+        "sim_lsh_topk": f"""
+          WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+          ),
+          bucketed AS (
+            SELECT vec_id, vec, {_lsh_bucket_sql(num_planes=6, dim=64)} AS bucket
+            FROM v
+          ),
+          pairs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+              list_dot_product(a.vec, b.vec)
+              / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
+            FROM bucketed a JOIN bucketed b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+          )
+          SELECT query_id, item_id, ROUND(cosine, 6) AS cosine, rank FROM (
+            SELECT query_id, item_id, cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS INT) AS rank
+            FROM pairs
+          ) WHERE rank <= 3
+        """,
+        "link_scores": f"""
+          WITH lex(name, term_id) AS (VALUES {_link_lex_values()}),
+          tt AS (
+            SELECT term_id, tok, COUNT(*) AS tf
+            FROM (
+              SELECT term_id,
+                     unnest(regexp_extract_all(lower(name), '[a-z0-9_]+')) AS tok
+              FROM lex
+            ) GROUP BY term_id, tok
+          ),
+          nt AS (SELECT COUNT(DISTINCT term_id) AS n_terms FROM tt),
+          dfc AS (SELECT tok, COUNT(DISTINCT term_id) AS dfn FROM tt GROUP BY tok),
+          w AS (
+            SELECT tt.term_id, tt.tok,
+                   tt.tf * ln((1.0 + nt.n_terms) / (1.0 + dfc.dfn)) AS wt
+            FROM tt CROSS JOIN nt JOIN dfc ON dfc.tok = tt.tok
+          ),
+          norms AS (
+            SELECT term_id,
+                   CASE WHEN sqrt(SUM(wt * wt)) = 0 THEN 1.0
+                        ELSE sqrt(SUM(wt * wt)) END AS nrm
+            FROM w GROUP BY term_id
+          ),
+          prof AS (
+            SELECT w.term_id, w.tok, w.wt / norms.nrm AS p
+            FROM w JOIN norms USING (term_id)
+          ),
+          m AS (
+            SELECT CAST(doc_id AS VARCHAR) AS url, text
+            FROM documents WHERE text LIKE '%spark%'
+          ),
+          ctx AS (
+            SELECT url, tok, COUNT(*) AS tf
+            FROM (
+              SELECT url,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+              FROM m
+            ) WHERE tok <> 'spark' GROUP BY url, tok
+          ),
+          cnorm AS (
+            SELECT url,
+                   CASE WHEN sqrt(SUM(tf * tf)) = 0 THEN 1.0
+                        ELSE sqrt(SUM(tf * tf)) END AS cn
+            FROM ctx GROUP BY url
+          ),
+          cands AS (
+            SELECT DISTINCT term_id FROM lex WHERE lower(name) = 'spark'
+          ),
+          scores AS (
+            SELECT m.url, c.term_id,
+              COALESCE(SUM((ctx.tf / cnorm.cn) * prof.p), 0.0) AS link_score
+            FROM m
+            CROSS JOIN cands c
+            LEFT JOIN ctx ON ctx.url = m.url
+            LEFT JOIN cnorm ON cnorm.url = m.url
+            LEFT JOIN prof ON prof.term_id = c.term_id AND prof.tok = ctx.tok
+            GROUP BY m.url, c.term_id
+          )
+          SELECT url, 0 AS sent_idx, 'spark' AS name, term_id,
+            ROUND(link_score, 6) AS link_score,
+            CAST(ROW_NUMBER() OVER (
+              PARTITION BY url ORDER BY link_score DESC, term_id ASC
+            ) AS INT) AS link_rank
+          FROM scores
         """,
         "tpch_pricing_summary": """
           SELECT l_returnflag, l_linestatus,

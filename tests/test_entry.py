@@ -61,8 +61,9 @@ def test_entry_smoke(spark):
     assert df.columns[0:3] == ["subj", "pred", "obj"]
 
 
-# python-UDF or float-order-dependent ops: driver records rows-only checks
-ROWS_ONLY = {"sim_lsh_topk", "link_scores"}
+# every query now carries a SQL oracle (r2: sim_lsh_topk + link_scores gained
+# theirs — md5 planes regenerated via hashlib; tf-idf chain in SQL)
+ROWS_ONLY: set = set()
 
 
 def test_every_query_has_oracle():
