@@ -349,6 +349,37 @@ def q_dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings + deterministic planted near-dups: vectors with vec_id<50
+    duplicated as vec_id+100000 with coordinate 0 scaled by 1.2 (cosine vs
+    the original ≈0.98-0.999). Reproducible verbatim in SQL, so both engines
+    see the same corpus."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    aug = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("vec")[0] * 1.2), F.slice(F.col("vec"), 2, 63)
+        ).alias("vec"),
+    )
+    return emb.unionByName(aug)
+
+
+def q_dd_embedding_neardup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE verified scale path for embedding near-dup (r2): multi-table
+    hyperplane-LSH candidates -> exact cosine confirm at 0.95, over the
+    corpus with planted near-dups. Work ∝ bucket collisions, never n²."""
+    from pmcanalysis_spark.operators.dedup import embedding_neardup_scalable
+
+    out = embedding_neardup_scalable(
+        _aug_embeddings(spark, sf_dir), id_col="vec_id", vec_col="vec",
+        threshold=0.95, dim=64, num_planes=8, num_tables=4,
+    )
+    return out.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_ts_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmcanalysis_spark.operators.textstats import token_count
 
@@ -751,7 +782,7 @@ def _obo_text() -> str:
     return "\n".join(out)
 
 
-def _lsh_bucket_sql(num_planes: int = 6, dim: int = 64) -> str:
+def _lsh_bucket_sql(num_planes: int = 6, dim: int = 64, plane_offset: int = 0) -> str:
     """DuckDB expression for the hyperplane-LSH bucket of column ``vec``.
 
     Plane coefficients are regenerated here with hashlib md5 — the same
@@ -764,7 +795,7 @@ def _lsh_bucket_sql(num_planes: int = 6, dim: int = 64) -> str:
     parts = []
     for p in range(num_planes):
         coeffs = [
-            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            int(hashlib.md5(f"{plane_offset + p}:{d}".encode()).hexdigest()[:8], 16)
             / float(1 << 32)
             - 0.5
             for d in range(dim)
@@ -876,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash": q_dd_minhash,
         "dd_simhash": q_dd_simhash,
         "dd_embedding_neardup": q_dd_embedding_neardup,
+        "dd_embedding_neardup_scalable": q_dd_embedding_neardup_scalable,
         "ts_token_count": q_ts_token_count,
         "ts_quality": q_ts_quality,
         "ts_lang_id": q_ts_lang_id,
@@ -1365,6 +1397,42 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY url ORDER BY link_score DESC, term_id ASC
             ) AS INT) AS link_rank
           FROM scores
+        """,
+        "dd_embedding_neardup_scalable": f"""
+          WITH base AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+          ),
+          v AS (
+            SELECT vec_id, vec FROM base
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   list_prepend(vec[1] * 1.2, vec[2:]) AS vec
+            FROM base WHERE vec_id < 50
+          ),
+          banded AS (
+            {" UNION ALL ".join(
+                f"SELECT vec_id, {t} AS tbl, "
+                f"{_lsh_bucket_sql(num_planes=8, dim=64, plane_offset=t * 8)} AS bucket FROM v"
+                for t in range(4)
+            )}
+          ),
+          cands AS (
+            SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM banded a JOIN banded b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+          ),
+          pairs AS (
+            SELECT c.a_id, c.b_id,
+              list_dot_product(va.vec, vb.vec)
+              / (sqrt(list_dot_product(va.vec, va.vec)) * sqrt(list_dot_product(vb.vec, vb.vec))) AS cosine
+            FROM cands c
+            JOIN v va ON va.vec_id = c.a_id
+            JOIN v vb ON vb.vec_id = c.b_id
+          )
+          SELECT a_id, b_id, ROUND(cosine, 6) AS cosine
+          FROM pairs WHERE cosine >= 0.95
         """,
         "tpch_pricing_summary": """
           SELECT l_returnflag, l_linestatus,

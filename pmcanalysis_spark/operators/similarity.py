@@ -97,11 +97,17 @@ def _plane_component(plane: int, dim: int):
     return h / F.lit(float(1 << 32)) - 0.5
 
 
-def lsh_bucket(vec_col, dim: int, num_planes: int = 8):
-    """Bucket id = bit pattern of sign(v . plane_p) for p in 0..num_planes-1."""
+def lsh_bucket(vec_col, dim: int, num_planes: int = 8, plane_offset: int = 0):
+    """Bucket id = bit pattern of sign(v . plane_p) for p in
+    plane_offset..plane_offset+num_planes-1. ``plane_offset`` selects an
+    independent plane set (multi-table LSH: union candidates over several
+    tables to raise recall)."""
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        comp = [F.col(vec_col)[d] * _plane_component(p, d) for d in range(dim)]
+        comp = [
+            F.col(vec_col)[d] * _plane_component(plane_offset + p, d)
+            for d in range(dim)
+        ]
         dot = comp[0]
         for c in comp[1:]:
             dot = dot + c

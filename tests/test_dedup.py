@@ -69,3 +69,46 @@ def test_simhash_equal_for_equal_and_close_for_near(spark):
         return bin((a ^ b) & ((1 << 60) - 1)).count("1")
 
     assert hamming(hs[1], hs[3]) < hamming(hs[1], hs[4])
+
+
+def test_embedding_neardup_scalable_recall(spark):
+    """The LSH->confirm scale path recovers most of the brute-force pairs
+    (recall < 1 by design — a pair is missed only if it separates in every
+    table). On the sf0.001 corpus with planted near-dups, measured recall is
+    asserted at a floor; confirmed pairs must be an exact subset with
+    identical cosines."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_scalable,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    aug = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(F.array(F.col("vec")[0] * 1.2), F.slice(F.col("vec"), 2, 63)).alias("vec"),
+    )
+    corpus = emb.unionByName(aug)
+    brute = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            corpus, id_col="vec_id", vec_col="vec", threshold=0.95
+        ).collect()
+    }
+    scal = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in embedding_neardup_scalable(
+            corpus, id_col="vec_id", vec_col="vec",
+            threshold=0.95, dim=64, num_planes=8, num_tables=4,
+        ).collect()
+    }
+    assert len(brute) >= 25  # planted pairs exist
+    # exact subset with identical cosine values
+    for k, v in scal.items():
+        assert k in brute and abs(v - brute[k]) < 1e-12
+    recall = len(scal) / len(brute)
+    assert recall >= 0.85, f"candidate recall {recall:.3f} below floor"
