@@ -635,7 +635,7 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmcanalysis_spark.operators.similarity import lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = lsh_bucketed_topk(emb, dim=64, num_planes=6, k=3)
+    out = lsh_bucketed_topk(emb, dim=64, num_planes=6, k=3, impl="numpy")
     return out.select(
         "query_id", "item_id", F.round("cosine", 6).alias("cosine"), "rank"
     )

@@ -31,8 +31,9 @@ BENCH_QUERIES = [
     "dd_exact_dedup",
     "dd_minhash",
     "dd_simhash",
-    "dd_embedding_neardup",
+    "dd_embedding_neardup_scalable",
     "sim_ivf_topk",
+    "sim_lsh_topk",
     "ts_token_count",
     "ts_quality",
     "ts_lang_id",

@@ -239,25 +239,50 @@ def embedding_neardup_scalable(
     num_planes) for higher recall at more candidate cost.
 
     Confirmed pairs are a SUBSET of embedding_neardup_pairs' output with
-    identical cosine values (same dot/norm algebra). Plan: one narrow pass
-    computes all table buckets, posexplode -> self-join on (table, bucket)
-    -> distinct candidates -> two id-joins to fetch vectors -> JVM-side
-    cosine. At 100 TB every shuffle key here is well-distributed (bucket
-    ids from random hyperplanes, then vector ids).
+    identical cosine values (same dot/norm algebra). Plan: ONE narrow
+    mapInPandas pass computes all num_tables×num_planes sign bits with a
+    single V @ P.T matmul per Arrow batch (a Column-expression bucket tree
+    at 4×8×64 nodes measurably chokes plan optimization), then posexplode
+    -> self-join on (table, bucket) -> distinct candidates -> two id-joins
+    to fetch vectors -> JVM-side cosine. At 100 TB every shuffle key here
+    is well-distributed (bucket ids from random hyperplanes, then ids).
     """
-    from .similarity import _dot, _norm, lsh_bucket
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _dot, plane_component_py
+
+    P = [
+        [plane_component_py(t * num_planes + p, d) for d in range(dim)]
+        for t in range(num_tables)
+        for p in range(num_planes)
+    ]
+
+    def bucketize(batches):
+        Pm = np.asarray(P, dtype="float64")  # (T*planes, dim)
+        w = 1 << np.arange(num_planes, dtype="int64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["vec"].to_numpy())
+            S = (V @ Pm.T) >= 0.0  # (n, T*planes)
+            B = S.reshape(len(pdf), num_tables, num_planes) @ w  # (n, T)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(dtype="int64"),
+                    "vec": pdf["vec"],
+                    "norm": np.sqrt((V * V).sum(axis=1)),
+                    "buckets": list(B),
+                }
+            )
 
     v = embeddings.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("norm", _norm(F.col("vec"), None))
-    buckets = [
-        lsh_bucket("vec", dim, num_planes, plane_offset=t * num_planes)
-        for t in range(num_tables)
-    ]
-    banded = v.select(
-        "id", F.posexplode(F.array(*buckets)).alias("tbl", "bucket")
     )
+    banded = v.mapInPandas(
+        bucketize, "id long, vec array<double>, norm double, buckets array<long>"
+    ).select("id", F.posexplode("buckets").alias("tbl", "bucket"))
     a = banded.select(F.col("id").alias("a_id"), "tbl", "bucket")
     b = banded.select(F.col("id").alias("b_id"), "tbl", "bucket")
     cands = (
@@ -266,10 +291,17 @@ def embedding_neardup_scalable(
         .select("a_id", "b_id")
         .distinct()
     )
-    va = v.select(F.col("id").alias("a_id"), F.col("vec").alias("va"),
-                  F.col("norm").alias("na_"))
-    vb = v.select(F.col("id").alias("b_id"), F.col("vec").alias("vb"),
-                  F.col("norm").alias("nb_"))
+    # confirm vectors come straight from the source scan (single-consumer
+    # mapInPandas above; no UDF-output reuse) with the SAME JVM fold
+    # norm/dot as embedding_neardup_pairs — confirmed cosines are therefore
+    # bit-identical to the brute-force baseline's, not just round-6 equal
+    from .similarity import _norm
+
+    vn = v.withColumn("norm", _norm(F.col("vec"), None))
+    va = vn.select(F.col("id").alias("a_id"), F.col("vec").alias("va"),
+                   F.col("norm").alias("na_"))
+    vb = vn.select(F.col("id").alias("b_id"), F.col("vec").alias("vb"),
+                   F.col("norm").alias("nb_"))
     return (
         cands.join(va, "a_id")
         .join(vb, "b_id")

@@ -88,9 +88,82 @@ def cosine_topk(
     )
 
 
-def _plane_component(plane: int, dim: int):
+def _group_topk_fn(k: int):
+    """applyInPandas kernel: within one candidate group (IVF cell / LSH
+    bucket), compute the full pairwise cosine matrix with ONE BLAS matmul
+    and emit per-query top-k. Each vector crosses the Arrow boundary once
+    per group (O(n) transfer), not once per pair (O(n²)) — the reason this
+    beats both the interpreted HOF fold and a per-pair pandas UDF.
+
+    Ordering matches the Column/window implementation exactly: rank by
+    (-cosine, item_id) via lexsort; ulp-level differences between BLAS
+    blocked summation and the sequential fold are absorbed by the callers'
+    ROUND(cosine, 6)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype="int64"),
+            "item_id": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+            "rank": pd.Series([], dtype="int32"),
+        }
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n <= 1:
+            return empty
+        ids = pdf["id"].to_numpy(dtype="int64")
+        V = np.vstack(pdf["vec"].to_numpy())
+        norms = pdf["norm"].to_numpy(dtype="float64")
+        G = (V @ V.T) / np.outer(norms, norms)
+        np.fill_diagonal(G, -np.inf)  # exclude self-pairs
+        kk = min(k, n - 1)
+        qs = np.repeat(ids, kk)
+        its = np.empty(n * kk, dtype="int64")
+        cs = np.empty(n * kk, dtype="float64")
+        for i in range(n):
+            row = G[i]
+            order = np.lexsort((ids, -row))[:kk]
+            its[i * kk : (i + 1) * kk] = ids[order]
+            cs[i * kk : (i + 1) * kk] = row[order]
+        return pd.DataFrame(
+            {
+                "query_id": qs,
+                "item_id": its,
+                "cosine": cs,
+                "rank": np.tile(np.arange(1, kk + 1, dtype="int32"), n),
+            }
+        )
+
+    return fn
+
+
+_TOPK_SCHEMA = "query_id long, item_id long, cosine double, rank int"
+
+
+def plane_component_py(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-    derived from a portable md5 hash of (plane, dim)."""
+    int(md5(f'{plane}:{dim}')[:8], 16) / 2^32 - 0.5. Computed ONCE on the
+    driver — the planes are index-derived constants, so folding them here
+    (instead of an F.md5 expression evaluated per row) removes
+    planes×dim md5 calls from every row. tests/test_similarity.py pins this
+    against the equivalent Spark md5/conv column expression."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return h / float(1 << 32) - 0.5
+
+
+def _plane_component(plane: int, dim: int):
+    return F.lit(plane_component_py(plane, dim))
+
+
+def _plane_component_spark_md5(plane: int, dim: int):
+    """The original in-plan derivation; kept ONLY for the parity unit test
+    (cross-checks JVM md5/conv against CPython hashlib)."""
     h = F.conv(
         F.substring(F.md5(F.concat_ws(":", F.lit(plane), F.lit(dim))), 1, 8), 16, 10
     ).cast("double")
@@ -121,13 +194,55 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    impl: str = "sql",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     (argmin L2 == argmax dot for unit-ish cells; we use max cosine for
     stability). Centroids are a small driver-side list (typically k-means
     output; any deterministic pick works for the index structure itself) —
-    the assignment is pure column algebra, one narrow pass.
-    Returns (id, vec, cell)."""
+    the assignment is one narrow pass, no shuffle.
+    Returns (id, vec, norm, cell).
+
+    impl='numpy': mapInPandas with the centroid matrix closed over — one
+    V @ C.T per Arrow batch instead of n_centroids interpreted folds per
+    row. Ties (two equal cosines) break to the FIRST centroid in the given
+    list in both impls (argmax first-occurrence == the > comparison chain).
+    """
+    if impl == "numpy":
+        import numpy as np
+        import pandas as pd
+
+        cell_ids = [int(c) for c, _ in centroids]
+        C = [[float(x) for x in cvec] for _, cvec in centroids]
+
+        def assign(batches):
+            Cm = np.asarray(C, dtype="float64")
+            cn = np.sqrt((Cm * Cm).sum(axis=1))
+            cn[cn == 0.0] = 1.0
+            cells = np.asarray(cell_ids, dtype="int64")
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.vstack(pdf["vec"].to_numpy())
+                vn = np.sqrt((V * V).sum(axis=1))
+                scores = (V @ Cm.T) / np.outer(vn, cn)
+                best = cells[np.argmax(scores, axis=1)]  # first max = lowest id
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(dtype="int64"),
+                        "vec": pdf["vec"],
+                        "norm": vn,
+                        "cell": best,
+                    }
+                )
+
+        v = embeddings.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        return v.mapInPandas(
+            assign, "id long, vec array<double>, norm double, cell long"
+        )
     v = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -154,13 +269,22 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 10,
     dim: int | None = None,
+    impl: str = "numpy",
 ) -> DataFrame:
     """IVF ANN (the scale path alongside LSH): candidates share a coarse
     cell; exact cosine + top-k within the cell. Work ∝ Σ cell_size², not
-    n² — and the cell join shuffles on the cell id, a bounded-cardinality
-    key whose skew AQE splits. Recall < 1 by design (single-probe); union
-    with neighboring-cell probes for higher recall."""
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col, dim)
+    n².
+
+    impl='numpy' (default): one shuffle on cell, then ONE BLAS matmul per
+    cell via applyInPandas — each vector crosses Arrow once per cell. The
+    fast path; caveat: applyInPandas groups can't be AQE-skew-split, so a
+    mega-cell lands on one task (re-cluster or probe-split if that bites).
+    impl='sql': cell self-join + JVM-side dot + row_number window — every
+    shuffle AQE-manageable, slower locally (interpreted HOF per pair).
+    Both produce identical rows after ROUND(cosine, 6); tested equal."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col, dim, impl=impl)
+    if impl == "numpy":
+        return assigned.groupBy("cell").applyInPandas(_group_topk_fn(k), _TOPK_SCHEMA)
     a = assigned.select(
         F.col("id").alias("query_id"), F.col("vec").alias("query_vec"),
         F.col("norm").alias("query_norm"), "cell",
@@ -194,14 +318,25 @@ def lsh_bucketed_topk(
     dim: int = 64,
     num_planes: int = 8,
     k: int = 10,
+    impl: str = "sql",
 ) -> DataFrame:
     """ANN: candidates share a hyperplane-sign bucket; exact cosine + top-k
     within candidates. Recall < 1 by design; union multiple plane sets for
-    higher recall (standard multi-probe trade-off)."""
+    higher recall (standard multi-probe trade-off).
+
+    impl='numpy': one BLAS matmul per bucket (see ivf_topk); impl='sql'
+    (default, oracle-parity): bucket self-join + JVM dot + window."""
     with_bucket = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("bucket", lsh_bucket("vec", dim, num_planes))
+    if impl == "numpy":
+        return (
+            with_bucket.select(F.col("id").cast("long").alias("id"), "vec", "bucket")
+            .withColumn("norm", _norm(F.col("vec"), None))
+            .groupBy("bucket")
+            .applyInPandas(_group_topk_fn(k), _TOPK_SCHEMA)
+        )
     a = with_bucket.select(
         F.col("id").alias("query_id"), F.col("vec").alias("query_vec"), "bucket"
     )

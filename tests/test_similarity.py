@@ -54,3 +54,62 @@ def test_lsh_buckets_parallel_vectors_together(spark):
     bvals = {(r.query_id, r.item_id): r.cosine for r in brute.collect()}
     for r in out:
         assert math.isclose(bvals[(r.query_id, r.item_id)], r.cosine, rel_tol=1e-9)
+
+
+def test_ivf_numpy_impl_matches_sql_impl(spark):
+    """The BLAS-matmul applyInPandas path and the join+window path produce
+    identical rows after ROUND(cosine, 6)."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+
+    def rows(impl):
+        out = ivf_topk(emb, cents, k=3, impl=impl).select(
+            F.col("query_id").cast("long"), F.col("item_id").cast("long"),
+            F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int"),
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    assert rows("numpy") == rows("sql")
+
+
+def test_lsh_numpy_impl_matches_sql_impl(spark):
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def rows(impl):
+        out = lsh_bucketed_topk(emb, dim=64, num_planes=6, k=3, impl=impl).select(
+            F.col("query_id").cast("long"), F.col("item_id").cast("long"),
+            F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int"),
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    assert rows("numpy") == rows("sql")
+
+
+def test_plane_component_python_matches_spark_md5(spark):
+    """The driver-side hashlib plane constants equal the original
+    F.md5/F.conv column derivation bit-for-bit (the cross-engine hash
+    parity the LSH oracles rely on)."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.similarity import (
+        _plane_component_spark_md5,
+        plane_component_py,
+    )
+
+    pairs = [(p, d) for p in (0, 3, 31) for d in (0, 17, 63)]
+    cols = [_plane_component_spark_md5(p, d).alias(f"c{i}")
+            for i, (p, d) in enumerate(pairs)]
+    [row] = spark.range(1).select(*cols).collect()
+    for i, (p, d) in enumerate(pairs):
+        assert row[f"c{i}"] == plane_component_py(p, d), (p, d)
