@@ -45,13 +45,25 @@ class StageResult:
 
 
 def _fingerprint(df: DataFrame, extra: str = "") -> str:
-    """Cheap logical fingerprint of a stage input: hash of the canonicalized
+    """Cheap logical fingerprint of a stage input: hash of the CANONICALIZED
     logical plan + caller-supplied discriminator (e.g. ontology version).
     Matches Iceberg's snapshot-id role: same plan + same inputs => same
-    fingerprint => stage is resumable."""
+    fingerprint => stage is resumable.
+
+    Canonicalization strips the session-unique parts of the plan string —
+    expression ids (``col#123``) and Python object addresses in UDF reprs
+    (``<function f at 0x7f...>``): two identical plans built in the same
+    session otherwise never fingerprint-match, which silently disabled
+    resume for every caller that didn't pass an explicit fingerprint.
+    Prefer an explicit fingerprint for production jobs (argv hash) — UDF
+    bodies are NOT captured by the plan string.
+    """
     import hashlib
+    import re
 
     plan = df._jdf.queryExecution().logical().toString()
+    plan = re.sub(r"#\d+", "#", plan)
+    plan = re.sub(r"0x[0-9a-fA-F]+", "0x", plan)
     return hashlib.md5((plan + "|" + extra).encode()).hexdigest()
 
 
@@ -122,7 +134,18 @@ def materialize_stage(
                 stage, path, m["run_id"], fp, m["row_count"], m["n_partitions"],
                 0, resumed=True,
             )
-        # stale/uncommitted snapshot: discard and rebuild
+        # stale/uncommitted snapshot: discard and rebuild — but never delete
+        # a previously COMMITTED snapshot silently (a fingerprint mismatch
+        # there usually means changed inputs, which is legitimate, but the
+        # operator should see that an old snapshot was replaced)
+        if m.get("committed"):
+            import warnings
+
+            warnings.warn(
+                f"stage '{stage}': committed snapshot at {path} has fingerprint "
+                f"{m.get('input_fingerprint')!r} != {fp!r}; replacing it",
+                stacklevel=2,
+            )
         shutil.rmtree(path, ignore_errors=True)
 
     run_id = uuid.uuid4().hex[:12]

@@ -151,6 +151,7 @@ def detect_doc_terms(
     lang: str | None = "en",
     min_name_len: int = MINLENGTH,
     ancestors: dict[str, tuple[str, ...]] | None = None,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Fused hot path: html -> extract -> sentence split -> trie NER ->
     per-doc distinct term set, in ONE mapInPandas crossing.
@@ -171,20 +172,29 @@ def detect_doc_terms(
     extra shuffles (the DataFrame-side closure join would re-run this UDF or
     force a cache of its output).
 
-    Output: (term_id, doc_id) — already distinct per doc.
+    Output: (term_id, doc_id) — already distinct per doc. With
+    ``passthrough_cols`` (e.g. ("warc_ts",)), each input row's values ride
+    along on every emitted (term, doc) row — this is what lets a streaming
+    caller keep event time without a stream-stream join (the join needs
+    unbounded state on both sides; the passthrough needs none).
     """
+    from pyspark.sql.types import StructType
+
     from .extract import extract_text_py
 
     sc = web_pages.sparkSession.sparkContext
     btrie = sc.broadcast(TokenTrie.from_lexicon(lexicon_entries, min_name_len))
     banc = sc.broadcast(ancestors or {})
+    extra = tuple(passthrough_cols)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         trie = btrie.value
         anc = banc.value
         for pdf in batches:
             tids, docs = [], []
-            for url, html in zip(pdf["url"], pdf["html"]):
+            extra_vals: list[list] = [[] for _ in extra]
+            extra_in = [pdf[c] for c in extra]
+            for i, (url, html) in enumerate(zip(pdf["url"], pdf["html"])):
                 text = extract_text_py(html)
                 if not text:
                     continue
@@ -199,14 +209,23 @@ def detect_doc_terms(
                 for tid in seen:
                     tids.append(tid)
                     docs.append(url)
-            yield pd.DataFrame(
-                {
-                    "term_id": pd.Series(tids, dtype="object"),
-                    "doc_id": pd.Series(docs, dtype="object"),
-                }
-            )
+                    for j, col in enumerate(extra_in):
+                        extra_vals[j].append(col.iloc[i])
+            out = {
+                "term_id": pd.Series(tids, dtype="object"),
+                "doc_id": pd.Series(docs, dtype="object"),
+            }
+            for j, c in enumerate(extra):
+                out[c] = pd.Series(extra_vals[j])
+            yield pd.DataFrame(out)
 
     df = web_pages
     if lang is not None:
         df = df.filter(F.col("lang") == lang)
-    return df.select("url", "html").mapInPandas(scan, schema=DOC_TERMS)
+    schema = DOC_TERMS
+    if extra:
+        schema = StructType(
+            list(DOC_TERMS.fields)
+            + [web_pages.schema[c] for c in extra]
+        )
+    return df.select("url", "html", *extra).mapInPandas(scan, schema=schema)

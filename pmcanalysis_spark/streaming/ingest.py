@@ -30,17 +30,23 @@ def read_web_pages_stream(spark: SparkSession, path: str, fmt: str = "parquet") 
 
 
 def windowed_term_counts(
-    doc_terms_stream: DataFrame,
-    pages_stream: DataFrame,
+    doc_terms_ts: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Per-term mention counts in event-time windows over warc_ts, tolerant
-    of ``watermark`` of late data. doc_terms_stream must carry doc_id=url."""
-    ts = pages_stream.select(F.col("url").alias("doc_id"), "warc_ts")
-    joined = doc_terms_stream.join(ts, "doc_id")
+    of ``watermark`` of late data.
+
+    Takes doc_terms WITH warc_ts carried through the fused UDF
+    (``detect_doc_terms(..., passthrough_cols=("warc_ts",))``). r1 joined
+    the doc_terms stream back to the pages stream here — a stream-stream
+    join whose state stores grow without bound under a continuous trigger
+    (the watermark applied only after the join never purges join state).
+    The passthrough removes the join entirely: one stateful operator
+    (the windowed agg), bounded state, same result.
+    """
     return (
-        joined.withWatermark("warc_ts", watermark)
+        doc_terms_ts.withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window).alias("w"), "term_id")
         .agg(F.count("*").alias("n_docs"))
         .select(

@@ -55,35 +55,15 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="kg-pipeline", cores=args.cores)
 
     # job fingerprint from the arguments: resume check happens BEFORE any
-    # plan construction or execution (north_rule: resume from last snapshot)
+    # plan construction or execution (north_rule: resume from last snapshot).
+    # A triples-resume does NOT return early: the entities and
+    # triples_canonical stages resume (or run) independently off their own
+    # manifests — a run that crashed between stages completes on rerun.
     fp = hashlib.md5(
         json.dumps(vars(args), default=str, sort_keys=True).encode()
     ).hexdigest()
-    resumed = try_resume(spark, args.output, "triples", fp)
-    if resumed is not None:
-        out, res = resumed
-        print(
-            json.dumps(
-                {
-                    "stage": res.stage,
-                    "resumed": True,
-                    "n_triples": res.row_count,
-                    "n_partitions": res.n_partitions,
-                    "wall_sec": 0.0,
-                    "path": res.path,
-                }
-            )
-        )
-        spark.stop()
-        return 0
 
-    if args.synthetic:
-        from pmcanalysis_spark.fixtures import bench_pages_df
-
-        web_pages = bench_pages_df(spark, args.synthetic)
-    else:
-        web_pages = spark.read.parquet(args.input)
-
+    # the lexicon is needed by the entities stage even on a triples-resume
     if args.lexicon and args.lexicon.endswith(".obo"):
         from pmcanalysis_spark.sources.obo import parse_obo_file
 
@@ -98,32 +78,43 @@ def main(argv: list[str] | None = None) -> int:
 
         lex = [(e.name, e.term_id) for e in build_lexicon()]
 
-    hier = None
-    if args.hierarchy:
-        hier = spark.read.parquet(args.hierarchy)
-    elif args.synthetic:
-        from pmcanalysis_spark.fixtures import build_hierarchy_terms
-        from pmcanalysis_spark.schemas import HIERARCHY
-
-        _, closure = build_hierarchy_terms()
-        hier = spark.createDataFrame(closure, HIERARCHY)
-
-    cfg = PipelineConfig(
-        lang=args.lang,
-        a_prefix=args.a_prefix,
-        b_prefixes=tuple(args.b_prefix or ["HP:", "MP:"]),
-        pred=args.pred,
-    )
-
-    from pmcanalysis_spark.pipeline import ingest
-
-    web_pages = ingest(web_pages, args.range_partitions)
-
     t0 = time.perf_counter()
-    triples = build_triples(web_pages, lex, hierarchy=hier, cfg=cfg)
-    out, res = materialize_stage(
-        triples, "triples", args.output, key_col="subj", fingerprint=fp
-    )
+    resumed = try_resume(spark, args.output, "triples", fp)
+    if resumed is not None:
+        out, res = resumed
+    else:
+        if args.synthetic:
+            from pmcanalysis_spark.fixtures import bench_pages_df
+
+            web_pages = bench_pages_df(spark, args.synthetic)
+        else:
+            web_pages = spark.read.parquet(args.input)
+
+        hier = None
+        if args.hierarchy:
+            hier = spark.read.parquet(args.hierarchy)
+        elif args.synthetic:
+            from pmcanalysis_spark.fixtures import build_hierarchy_terms
+            from pmcanalysis_spark.schemas import HIERARCHY
+
+            _, closure = build_hierarchy_terms()
+            hier = spark.createDataFrame(closure, HIERARCHY)
+
+        cfg = PipelineConfig(
+            lang=args.lang,
+            a_prefix=args.a_prefix,
+            b_prefixes=tuple(args.b_prefix or ["HP:", "MP:"]),
+            pred=args.pred,
+        )
+
+        from pmcanalysis_spark.pipeline import ingest
+
+        web_pages = ingest(web_pages, args.range_partitions)
+
+        triples = build_triples(web_pages, lex, hierarchy=hier, cfg=cfg)
+        out, res = materialize_stage(
+            triples, "triples", args.output, key_col="subj", fingerprint=fp
+        )
 
     # entity canonicalization stage (north_star): merge xref/name-shared
     # terms, materialize the entities map and the canonical triple table

@@ -54,3 +54,44 @@ def test_uncommitted_snapshot_is_rebuilt(spark, tmp_path):
     out, r2 = materialize_stage(df, "s", base, key_col="id")
     assert not r2.resumed
     assert out.count() == 50
+
+
+def test_fingerprint_stable_across_identical_plans(spark):
+    """Regression (ADVICE r1): two identical plans built in the same session
+    must fingerprint identically (expression ids are canonicalized away),
+    so implicit-fingerprint callers can actually resume."""
+    from pmcanalysis_spark.lineage import _fingerprint
+
+    df1 = spark.range(10).selectExpr("id", "id * 2 AS v").filter("v > 4")
+    df2 = spark.range(10).selectExpr("id", "id * 2 AS v").filter("v > 4")
+    assert _fingerprint(df1) == _fingerprint(df2)
+
+
+def test_resume_completes_downstream_stages(tmp_path):
+    """Regression (ADVICE r1, medium): rerunning after a crash between the
+    triples commit and the entities stage must complete the missing stages,
+    not print resumed and exit."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    outdir = str(tmp_path / "kgout")
+    cmd = [
+        sys.executable, "scripts/run_pipeline.py",
+        "--synthetic", "300", "--output", outdir, "--cores", "4",
+    ]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    # simulate a crash after 'triples' committed: drop the downstream stages
+    shutil.rmtree(f"{outdir}/entities")
+    shutil.rmtree(f"{outdir}/triples_canonical")
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out["resumed"] is True  # triples stage resumed
+    assert out["n_entities"] > 0  # ...but downstream stages were rebuilt
+    assert out["n_canonical_triples"] > 0
+    import os
+    assert os.path.exists(f"{outdir}/entities/_lineage_manifest.json")
+    assert os.path.exists(f"{outdir}/triples_canonical/_lineage_manifest.json")

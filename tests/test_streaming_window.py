@@ -16,8 +16,8 @@ def test_windowed_term_counts_match_batch(spark, tmp_path):
     lex = [(e.name, e.term_id) for e in build_lexicon()]
 
     stream = read_web_pages_stream(spark, src)
-    dt_stream = detect_doc_terms(stream, lex)
-    windowed = windowed_term_counts(dt_stream, stream, window="1 hour", watermark="2 hours")
+    dt_stream = detect_doc_terms(stream, lex, passthrough_cols=("warc_ts",))
+    windowed = windowed_term_counts(dt_stream, window="1 hour", watermark="2 hours")
     q = (
         windowed.writeStream.format("memory")
         .queryName("win_counts")
