@@ -50,21 +50,78 @@ MEDIA_FEATURES = StructType(
     ]
 )
 
-# deterministic fake decode for tests; real kernels would go here
+# deterministic fake decode for tests; real pixel decode would go here
 USE_FAKE_DECODE = True
+
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xCF + 1)
+) - {0xC4, 0xC8, 0xCC}  # SOF0-15 minus DHT/JPG/DAC
+
+
+def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
+    """REAL header parse (pure stdlib, no PIL): (width, height) for
+    PNG (IHDR), GIF87a/89a (logical screen descriptor) and JPEG (first SOFn
+    segment); None when the payload is not a recognized image format.
+    """
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is required to be the first chunk: length(4) type(4) data
+        if payload[12:16] == b"IHDR":
+            return (
+                int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"),
+            )
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+        )
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        # walk the marker segments to the first start-of-frame
+        i = 2
+        n = len(payload)
+        while i + 3 < n:
+            if payload[i] != 0xFF:
+                return None  # desynced
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if i + 4 > n:
+                return None
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF_MARKERS:
+                # segment: len(2) precision(1) height(2) width(2)
+                if i + 9 > n:
+                    return None
+                return (
+                    int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    int.from_bytes(payload[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seg_len
+        return None
+    return None
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB: real implementation needs PIL/opencv (not in this container).
-
-    The deterministic fake derives shape/features from the payload bytes so
-    tests pin the batch plumbing end-to-end.
+    """Width/height are REAL (header parse above) whenever the payload is an
+    actual PNG/GIF/JPEG. Pixel-level feature vectors still need PIL/opencv
+    (absent from this container): for recognized images the feature slot is
+    a deterministic byte-derived fake (clearly not a semantic embedding);
+    for unrecognized payloads the whole decode falls back to the fake iff
+    USE_FAKE_DECODE, else raises.
     """
+    dims = parse_image_dims(payload)
+    feats = [float((b % 17)) / 16.0 for b in payload[:8]]
+    if dims is not None:
+        return dims[0], dims[1], feats
     if not USE_FAKE_DECODE:
-        raise NotImplementedError("image decode requires PIL/opencv")
+        raise NotImplementedError("pixel decode requires PIL/opencv")
     h = sum(payload[:16]) if payload else 0
     width, height = 16 + h % 64, 16 + (h // 64) % 64
-    feats = [float((b % 17)) / 16.0 for b in payload[:8]]
     return width, height, feats
 
 

@@ -74,3 +74,57 @@ def to_ntriples(entities: DataFrame, iri_col: str, pred_col: str, obj_col: str,
             obj, F.lit(" ."),
         ).alias("ntriple")
     )
+
+
+GAF_HEADER = (
+    "!DB, Object ID, Object Symbol, Qualifier (score), Phenotype ID, "
+    "Reference, Evidence Code, <empty>, Aspect, DB Object Name, "
+    "DB Object Synonym, DB Object Type, Taxon, Date, Assigned By, "
+    "Annotation Extension, Gene Product Form ID"
+)
+
+
+def to_gaf(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    name_col: str = "subj_name",
+    score_col: str | None = None,
+    db: str = "Aber-OWL",
+    reference: str = "http://arxiv.org/abs/1411.0450",
+    evidence: str = "ITM",
+    object_type: str = "disease",
+    taxon: str = "taxon:9606",
+    date: str = "6/1/2015",
+    assigned_by: str = "Robert Hoehndorf",
+) -> DataFrame:
+    """(subj, obj, subj_name[, score]) -> one GAF-format line per row (F13
+    production side; /root/reference/MakeDOAFile.groovy:1-10: qualifier
+    column carries the association score, reference/evidence/taxon/date are
+    job constants). Emit with ``df.write.text`` after prepending GAF_HEADER.
+    """
+    qualifier = (
+        F.col(score_col).cast("string") if score_col else F.lit(evidence)
+    )
+    return triples.select(
+        F.concat_ws(
+            "\t",
+            F.lit(db),
+            F.col(subj_col),
+            F.col(name_col),
+            qualifier,
+            F.col(obj_col),
+            F.lit(reference),
+            F.lit(evidence),
+            F.lit(""),
+            F.lit(""),
+            F.col(name_col),
+            F.col(name_col),
+            F.lit(object_type),
+            F.lit(taxon),
+            F.lit(date),
+            F.lit(assigned_by),
+            F.lit(""),
+            F.lit(""),
+        ).alias("gaf_line")
+    )

@@ -44,3 +44,53 @@ def test_fake_decode_is_deterministic(spark):
     a = sorted(map(str, extract_media_features(_media(spark)).collect()))
     b = sorted(map(str, extract_media_features(_media(spark)).collect()))
     assert a == b
+
+
+def _tiny_png(w, h):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+
+
+def _tiny_jpeg(w, h):
+    # SOI, APP0 (JFIF stub), SOF0, EOI — enough for a header walk
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _tiny_gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
+
+
+def test_parse_image_dims_real_headers():
+    from pmcanalysis_spark.multimodal import parse_image_dims
+
+    assert parse_image_dims(_tiny_png(640, 480)) == (640, 480)
+    assert parse_image_dims(_tiny_jpeg(1024, 768)) == (1024, 768)
+    assert parse_image_dims(_tiny_gif(320, 200)) == (320, 200)
+    assert parse_image_dims(b"not an image") is None
+    assert parse_image_dims(b"") is None
+    # truncated PNG header must not crash
+    assert parse_image_dims(b"\x89PNG\r\n\x1a\n\x00\x00") is None
+
+
+def test_extract_media_features_real_dims(spark):
+    """Real PNG/JPEG bytes through the Spark batch path yield the true
+    width/height (the decode is no longer fake for recognized formats)."""
+    from pmcanalysis_spark.multimodal import MEDIA, extract_media_features
+
+    rows = [
+        ("m1", "image", "image/png", 50, bytearray(_tiny_png(640, 480))),
+        ("m2", "image", "image/jpeg", 50, bytearray(_tiny_jpeg(800, 600))),
+    ]
+    df = spark.createDataFrame(rows, MEDIA)
+    got = {r["media_id"]: (r["width"], r["height"])
+           for r in extract_media_features(df).collect()}
+    assert got == {"m1": (640, 480), "m2": (800, 600)}

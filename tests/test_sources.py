@@ -195,3 +195,27 @@ is_a: D:1
     }
     # flu:1 doc, cold: d2 + synonym d3 = 2, root inherits union = 3
     assert df == {"D:2": 1, "D:3": 2, "D:1": 3}
+
+
+def test_to_gaf_golden(spark):
+    """GAF row formatting (F13 / MakeDOAFile.groovy:3-10): 17 tab-separated
+    fields with job-constant reference/evidence/taxon/date columns."""
+    from pmcanalysis_spark.sources.tsv import GAF_HEADER, to_gaf
+
+    df = spark.createDataFrame(
+        [("DOID:1", "HP:2", "cancer", 0.5)],
+        "subj string, obj string, subj_name string, npmi double",
+    )
+    [r] = to_gaf(df, score_col="npmi").collect()
+    fields = r["gaf_line"].split("\t")
+    assert len(fields) == 17
+    assert fields[0] == "Aber-OWL"
+    assert fields[1] == "DOID:1"
+    assert fields[2] == "cancer"
+    assert fields[3] == "0.5"
+    assert fields[4] == "HP:2"
+    assert fields[5] == "http://arxiv.org/abs/1411.0450"
+    assert fields[6] == "ITM"
+    assert fields[11] == "disease"
+    assert fields[12] == "taxon:9606"
+    assert GAF_HEADER.startswith("!DB")
