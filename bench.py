@@ -124,6 +124,43 @@ def _run_pipeline(cores: int, corpus_path: str) -> tuple[float, int]:
         spark.stop()
 
 
+def _cpu_control(levels: list[int], chunk: int = 1_200_000) -> dict:
+    """No-Spark CPython control: ``level`` processes each md5-hash ``chunk``
+    values; per-level throughput bounds what ANY software can scale to on
+    this box (turbo vs all-core base clock + shared cache). The Spark
+    efficiency is reported raw AND normalized by this hardware ceiling —
+    on a real N -> 4N EXECUTOR scale-out (separate machines, the north
+    rule's actual claim) the per-core clock is constant and the raw number
+    would not pay this tax."""
+    import hashlib
+    from multiprocessing import Process
+
+    def burn(n: int) -> None:
+        h = hashlib.md5()
+        for i in range(n):
+            h.update(b"%d" % i)
+
+    out: dict[str, dict] = {}
+    thr: dict[int, float] = {}
+    for _rep in range(2):
+        for lvl in levels:  # interleaved, same as the Spark levels
+            procs = [Process(target=burn, args=(chunk,)) for _ in range(lvl)]
+            t0 = time.perf_counter()
+            for p in procs:
+                p.start()
+            for p in procs:
+                p.join()
+            wall = time.perf_counter() - t0
+            tput = lvl * chunk / wall
+            if lvl not in thr or tput > thr[lvl]:
+                thr[lvl] = tput
+    for lvl in levels:
+        out[str(lvl)] = {"hashes_per_sec": round(thr[lvl], 0)}
+    lo, hi = levels[0], levels[-1]
+    out["efficiency"] = round((thr[hi] / thr[lo]) / (hi / lo), 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores_hi = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -186,15 +223,27 @@ def main() -> None:
         )
 
     lo, mid, hi = levels[0], levels[min(1, len(levels) - 1)], levels[-1]
+    control = _cpu_control([lo, mid])
+    raw_eff = eff(lo, mid)
+    ceiling = max(control["efficiency"], 1e-9)
     pipeline = {
         "n_pages": N_BENCH_PAGES,
         "sentences_per_page": spp,
         "n_triples": n_ref,
         "runs": {str(c): runs[c] for c in levels},
-        "scaling_gate": {"n_cores": lo, "four_n_cores": mid, "efficiency": eff(lo, mid)},
+        "scaling_gate": {
+            "n_cores": lo,
+            "four_n_cores": mid,
+            "efficiency": raw_eff,
+            # hardware ceiling measured in-run: a no-Spark CPython burn at
+            # the same two levels (turbo-vs-base-clock + shared-cache tax
+            # that a real N->4N EXECUTOR scale-out would not pay)
+            "cpu_control": control,
+            "clock_normalized_efficiency": round(min(raw_eff / ceiling, 1.0), 3),
+        },
         "scaling_8_to_32": eff(mid, hi) if mid != hi else None,
         "triples_per_sec_max": max(r["triples_per_sec"] for r in runs.values()),
-        "scaling_efficiency": eff(lo, mid),
+        "scaling_efficiency": raw_eff,
         "triple_pr_vs_oracle": {
             "precision": round(triple_pr["precision"], 4),
             "recall": round(triple_pr["recall"], 4),
@@ -216,7 +265,11 @@ def main() -> None:
                 for c in levels
             )
             + f"\nscaling efficiency N={lo} -> 4N={mid}: "
-            f"**{pipeline['scaling_gate']['efficiency']}** (gate: >= 0.8)\n\n"
+            f"**{pipeline['scaling_gate']['efficiency']}** raw (gate: >= 0.8); "
+            f"CPython no-Spark control efficiency at the same levels: "
+            f"{control['efficiency']} (the box's turbo-vs-base-clock ceiling); "
+            f"clock-normalized: "
+            f"**{pipeline['scaling_gate']['clock_normalized_efficiency']}**\n\n"
             f"triple P/R vs miniature reference oracle (2000-page fixture): "
             f"precision={pipeline['triple_pr_vs_oracle']['precision']}, "
             f"recall={pipeline['triple_pr_vs_oracle']['recall']} (gate: >= 0.95)\n\n"
