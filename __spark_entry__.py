@@ -333,6 +333,14 @@ def q_dd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", F.posexplode("sig").alias("hash_idx", "minhash"))
 
 
+def q_dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH banding (the near-dedup scale path's candidate step):
+    8 hashes, 4 bands of 2 — docs colliding on any full band pair up."""
+    from pmcanalysis_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=8, bands=4)
+
+
 def q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmcanalysis_spark.operators.dedup import simhash64
 
@@ -402,6 +410,20 @@ def q_ts_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmcanalysis_spark.operators.textstats import doc_fingerprint
 
     return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_ts_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc n-gram repetition fraction (quality filter)."""
+    from pmcanalysis_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), n=2)
+
+
+def q_ts_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate candidates: top-20 trigrams by doc frequency."""
+    from pmcanalysis_spark.operators.textstats import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=3, k=20)
 
 
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact_dedup": q_dd_exact_dedup,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_minhash": q_dd_minhash,
+        "dd_minhash_lsh_pairs": q_dd_minhash_lsh_pairs,
         "dd_simhash": q_dd_simhash,
         "dd_embedding_neardup": q_dd_embedding_neardup,
         "dd_embedding_neardup_scalable": q_dd_embedding_neardup_scalable,
@@ -912,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_quality": q_ts_quality,
         "ts_lang_id": q_ts_lang_id,
         "ts_fingerprint": q_ts_fingerprint,
+        "ts_repetition": q_ts_repetition,
+        "ts_top_ngrams": q_ts_top_ngrams,
         "sim_cosine_topk": q_sim_cosine_topk,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_join_agg": q_tpch_join_agg,
@@ -1208,6 +1233,40 @@ def oracle_sql() -> dict[str, str]:
           FROM hashed CROSS JOIN range(8) AS t(seed)
           GROUP BY doc_id, seed
         """,
+        "dd_minhash_lsh_pairs": """
+          WITH sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+              SELECT doc_id,
+                array_to_string(toks[i : i + 2], ' ') AS shingle
+              FROM (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 2)) AS i
+                FROM documents
+              )
+              WHERE i + 2 <= len(toks)
+            )
+          ),
+          hashed AS (
+            SELECT doc_id,
+              CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+              CAST(concat('0x', substr(md5(shingle), 16, 15)) AS BIGINT) % (1::BIGINT << 57) AS h2
+            FROM sh
+          ),
+          sig AS (
+            SELECT doc_id, CAST(seed AS INT) AS hash_idx,
+                   MIN((h1 + seed * h2) % 2305843009213693951) AS mh
+            FROM hashed CROSS JOIN range(8) AS t(seed)
+            GROUP BY doc_id, seed
+          ),
+          banded AS (
+            SELECT doc_id, hash_idx // 2 AS band,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hash_idx) AS bucket
+            FROM sig GROUP BY doc_id, hash_idx // 2
+          )
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
         "dd_simhash": """
           WITH toks AS (
             SELECT DISTINCT doc_id, tok FROM (
@@ -1433,6 +1492,51 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT a_id, b_id, ROUND(cosine, 6) AS cosine
           FROM pairs WHERE cosine >= 0.95
+        """,
+        "ts_repetition": """
+          WITH g AS (
+            SELECT doc_id, grams FROM (
+              SELECT doc_id,
+                list_filter(
+                  [array_to_string(toks[i : i + 1], ' ')
+                   FOR i IN range(1, greatest(len(toks) - 1, 0) + 1)],
+                  x -> len(string_split(x, ' ')) = 2
+                ) AS grams
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            )
+          )
+          SELECT doc_id,
+            len(grams) AS n_ngrams,
+            len(list_distinct(grams)) AS n_distinct,
+            ROUND(CASE WHEN len(grams) > 0
+                  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                  ELSE 0.0 END, 6) AS dup_frac
+          FROM g
+        """,
+        "ts_top_ngrams": """
+          WITH sh AS (
+            SELECT doc_id, ngram FROM (
+              SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS ngram
+              FROM (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       unnest(range(1, greatest(len(string_split(text, ' ')) - 3, 0) + 2)) AS i
+                FROM documents
+              )
+              WHERE i + 2 <= len(toks)
+            )
+          ),
+          per_doc AS (
+            SELECT doc_id, ngram, COUNT(*) AS occ FROM sh GROUP BY doc_id, ngram
+          ),
+          agg AS (
+            SELECT ngram, COUNT(*) AS df, CAST(SUM(occ) AS BIGINT) AS total_occ
+            FROM per_doc GROUP BY ngram
+          )
+          SELECT ngram, df, total_occ,
+            CAST(ROW_NUMBER() OVER (ORDER BY df DESC, total_occ DESC, ngram ASC) AS INT) AS rank
+          FROM agg
+          ORDER BY df DESC, total_occ DESC, ngram ASC
+          LIMIT 20
         """,
         "tpch_pricing_summary": """
           SELECT l_returnflag, l_linestatus,

@@ -115,3 +115,85 @@ def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         ),
     )
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signal: per doc, the fraction of word
+    n-grams that are repeats (1 - distinct/total). High dup_frac marks
+    degenerate or boilerplate-heavy documents — a standard pre-training
+    quality filter.
+
+    Pure Column algebra, narrow plan (no shuffle before the final project):
+    the n-gram array is built once via sequence+transform and the distinct
+    count via array_distinct — nothing explodes to rows.
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.filter(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        lambda g: F.size(F.split(g, " ")) == n,
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        F.round(
+            F.when(total > 0, 1.0 - distinct.cast("double") / total).otherwise(0.0), 6
+        ).alias("dup_frac"),
+    )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide boilerplate detection: the k most document-frequent word
+    n-grams (ngram, df, total_occurrences). The df ranking is what a
+    dedup/cleaning pipeline feeds back as a strip-list (cf. the
+    max_shingle_df drop in ngram_jaccard_pairs).
+
+    Plan: explode -> two-level aggregate (per-doc distinct handled by the
+    groupBy(doc, ngram) partial) -> global top-k. The explode inflates rows
+    by ~tokens/doc, but the first groupBy combines map-side, so the shuffle
+    carries (doc, ngram) distinct pairs, not raw occurrences. The top-k is
+    orderBy+limit (TakeOrderedAndProject — per-partition heaps, never a
+    single-task global window over the full ngram cardinality); the rank
+    window then runs over just k rows.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size(F.split(F.col(text_col), " ")) - n, F.lit(0)),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.split(F.col(text_col), " "), i + 1, n)
+                    ),
+                ),
+                lambda g: F.size(F.split(g, " ")) == n,
+            )
+        ).alias("ngram"),
+    )
+    per_doc = sh.groupBy("doc_id", "ngram").agg(F.count("*").alias("occ"))
+    agg = per_doc.groupBy("ngram").agg(
+        F.count("*").alias("df"),
+        F.sum("occ").alias("total_occ"),
+    )
+    from pyspark.sql import Window
+
+    topk = agg.orderBy(F.desc("df"), F.desc("total_occ"), F.asc("ngram")).limit(k)
+    w = Window.orderBy(F.desc("df"), F.desc("total_occ"), F.asc("ngram"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("ngram", "df", "total_occ", "rank")
+    )
