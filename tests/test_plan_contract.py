@@ -95,3 +95,47 @@ def test_multi_prefix_single_join_equals_union(spark):
         for r in pair_counts(dt, "DOID:", b).collect():
             union[(r.a_id, r.b_id)] = r.nab
     assert single == union
+
+
+def test_neardup_scalable_never_cartesian(spark):
+    """The verified near-dup scale path must plan bucket equi-joins — a
+    CartesianProduct/BroadcastNestedLoop anywhere means the all-pairs
+    regression came back."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.dedup import embedding_neardup_scalable
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = embedding_neardup_scalable(emb, threshold=0.95)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_serving_lookup_pushes_term_filter(spark, tmp_path):
+    """The point-lookup's IN-filter must reach the inverted-index parquet
+    scan (PushedFilters: In(term_id, ...)) — the O(selected terms) cost
+    claim of serving.KGIndex.lookup."""
+    from pmcanalysis_spark.serving import KGIndex, build_serving_tables
+
+    doc_terms = spark.createDataFrame(
+        [(f"T:{i % 20}", f"d{i}") for i in range(200)],
+        "term_id string, doc_id string",
+    )
+    lexicon = spark.createDataFrame([("n", "T:1")], "name string, term_id string")
+    paths = build_serving_tables(doc_terms, lexicon, None, str(tmp_path))
+    idx = KGIndex(spark, paths)
+    plan = _plan(idx.lookup(["T:1", "T:2"]))
+    assert "PushedFilters: [In(term_id" in plan, plan[:2000]
+
+
+def test_top_ngrams_uses_distributed_topk(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    heaps), never a single-task global-window over all ngrams."""
+    from pmcanalysis_spark.operators.textstats import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(top_ngrams(docs, n=3, k=5))
+    assert "TakeOrderedAndProject" in plan
