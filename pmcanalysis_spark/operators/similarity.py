@@ -324,19 +324,47 @@ def lsh_bucketed_topk(
     within candidates. Recall < 1 by design; union multiple plane sets for
     higher recall (standard multi-probe trade-off).
 
-    impl='numpy': one BLAS matmul per bucket (see ivf_topk); impl='sql'
-    (default, oracle-parity): bucket self-join + JVM dot + window."""
+    impl='numpy': bucket bits + norms from ONE V @ P.T mapInPandas pass,
+    then one BLAS matmul per bucket (see ivf_topk); impl='sql' (default,
+    oracle-parity): Column-algebra bucket + self-join + JVM dot + window."""
+    if impl == "numpy":
+        import numpy as np
+        import pandas as pd
+
+        P = [
+            [plane_component_py(p, d) for d in range(dim)]
+            for p in range(num_planes)
+        ]
+
+        def bucketize(batches):
+            Pm = np.asarray(P, dtype="float64")
+            w = 1 << np.arange(num_planes, dtype="int64")
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.vstack(pdf["vec"].to_numpy())
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(dtype="int64"),
+                        "vec": pdf["vec"],
+                        "norm": np.sqrt((V * V).sum(axis=1)),
+                        "bucket": ((V @ Pm.T) >= 0.0) @ w,
+                    }
+                )
+
+        bucketed = embeddings.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ).mapInPandas(
+            bucketize, "id long, vec array<double>, norm double, bucket long"
+        )
+        return bucketed.groupBy("bucket").applyInPandas(
+            _group_topk_fn(k), _TOPK_SCHEMA
+        )
     with_bucket = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("bucket", lsh_bucket("vec", dim, num_planes))
-    if impl == "numpy":
-        return (
-            with_bucket.select(F.col("id").cast("long").alias("id"), "vec", "bucket")
-            .withColumn("norm", _norm(F.col("vec"), None))
-            .groupBy("bucket")
-            .applyInPandas(_group_topk_fn(k), _TOPK_SCHEMA)
-        )
     a = with_bucket.select(
         F.col("id").alias("query_id"), F.col("vec").alias("query_vec"), "bucket"
     )
