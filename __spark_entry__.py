@@ -431,7 +431,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     # bounded query set (vec_id < 200): keeps the oracle compare O(q*n)
-    out = cosine_topk(emb, queries=emb.filter(F.col("vec_id") < 200), k=3)
+    out = cosine_topk(emb, queries=emb.filter(F.col("vec_id") < 200), k=3, impl="numpy")
     return out.select("query_id", "item_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 

@@ -55,13 +55,82 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 10,
     dim: int | None = None,
+    impl: str = "sql",
 ) -> DataFrame:
     """Brute-force cosine top-k. ``queries`` defaults to the corpus itself
     (all-pairs self-search, excluding self-matches).
 
-    Plan shape: broadcast the (small) query side if it fits, cross-join the
-    corpus, JVM-side dot products, then a row_number window on query_id —
+    impl='numpy' (requires an explicit bounded ``queries`` side): the query
+    matrix is collected to the driver and closed over a mapInPandas that
+    computes Q @ V.T per corpus Arrow batch and emits only the per-batch
+    top-k per query; a final window merges partials. ONE pass over the
+    corpus, no q×n row materialization — at 100 TB the corpus-side shuffle
+    volume is q×k×n_batches rows, not q×n. (Top-k of a union of per-batch
+    top-ks IS the global top-k; tie order preserved by the shared
+    (-cosine, item_id) sort key.)
+
+    impl='sql': broadcast the (small) query side, cross-join the corpus,
+    JVM-side dot products, then a row_number window on query_id —
     TakeOrderedAndProject keeps only k rows per query past the window."""
+    if impl == "numpy":
+        import numpy as np
+        import pandas as pd
+
+        if queries is None:
+            raise ValueError("impl='numpy' needs an explicit bounded queries side")
+        qrows = (
+            queries.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            )
+            .orderBy("id")
+            .collect()
+        )
+        qids = [int(r["id"]) for r in qrows]
+        Q = [list(r["vec"]) for r in qrows]
+
+        def part(batches):
+            Qm = np.asarray(Q, dtype="float64")
+            qn = np.sqrt((Qm * Qm).sum(axis=1))
+            qn[qn == 0.0] = 1.0
+            qida = np.asarray(qids, dtype="int64")
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.vstack(pdf["vec"].to_numpy())
+                vn = np.sqrt((V * V).sum(axis=1))
+                ids = pdf["id"].to_numpy(dtype="int64")
+                S = (Qm @ V.T) / np.outer(qn, vn)  # (q, batch)
+                S[qida[:, None] == ids[None, :]] = -np.inf  # self-match
+                kk = min(k, S.shape[1])
+                out_q, out_i, out_c = [], [], []
+                for qi in range(len(qida)):
+                    row = S[qi]
+                    order = np.lexsort((ids, -row))[:kk]
+                    keep = row[order] > -np.inf
+                    out_q.extend([qida[qi]] * int(keep.sum()))
+                    out_i.extend(ids[order][keep])
+                    out_c.extend(row[order][keep])
+                yield pd.DataFrame(
+                    {
+                        "query_id": pd.Series(out_q, dtype="int64"),
+                        "item_id": pd.Series(out_i, dtype="int64"),
+                        "cosine": pd.Series(out_c, dtype="float64"),
+                    }
+                )
+
+        partials = embeddings.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ).mapInPandas(part, "query_id long, item_id long, cosine double")
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("item_id")
+        )
+        return (
+            partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "item_id", "cosine", "rank")
+        )
     corpus = embeddings.select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("item_vec"),

@@ -113,3 +113,21 @@ def test_plane_component_python_matches_spark_md5(spark):
     [row] = spark.range(1).select(*cols).collect()
     for i, (p, d) in enumerate(pairs):
         assert row[f"c{i}"] == plane_component_py(p, d), (p, d)
+
+
+def test_cosine_numpy_impl_matches_sql_impl(spark):
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 30)
+
+    def rows(impl):
+        out = cosine_topk(emb, queries=qs, k=3, impl=impl).select(
+            F.col("query_id").cast("long"), F.col("item_id").cast("long"),
+            F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int"),
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    assert rows("numpy") == rows("sql")
