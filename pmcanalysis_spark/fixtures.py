@@ -235,3 +235,42 @@ def build_rates() -> list[dict]:
 
 
 RATES_EXPECTED_AUC = 0.875
+
+
+def fixture_obo_text() -> str:
+    """The fixture lexicon + hierarchy rendered as a literal OBO document:
+    names/synonyms from build_lexicon, is_a edges = the direct (non-derived)
+    edges of build_hierarchy_terms' closure. Running the flagship from this
+    file must equal running it from the in-memory fixture dims (S5+S6
+    end-to-end parity, tested in tests/test_sources.py)."""
+    from collections import defaultdict
+
+    lx = build_lexicon()
+    terms, closure = build_hierarchy_terms()
+    clo = set(closure)
+    direct = [
+        (c, p)
+        for (c, p) in clo
+        if not any(
+            (c, m) in clo and (m, p) in clo
+            for m in {x[1] for x in clo if x[0] == c}
+        )
+    ]
+    by_id: dict[str, list[str]] = defaultdict(list)
+    for e in lx:
+        by_id[e.term_id].append(e.name)
+    parents: dict[str, list[str]] = defaultdict(list)
+    for c, p in sorted(direct):
+        parents[c].append(p)
+    lines = ["format-version: 1.2", ""]
+    for t in sorted(set(by_id) | set(terms)):
+        lines.append("[Term]")
+        lines.append(f"id: {t}")
+        names = by_id.get(t, [f"unnamed {t.lower()}"])
+        lines.append(f"name: {names[0]}")
+        for n in names[1:]:
+            lines.append(f'synonym: "{n}" EXACT []')
+        for p in sorted(parents.get(t, [])):
+            lines.append(f"is_a: {p}")
+        lines.append("")
+    return "\n".join(lines)

@@ -88,6 +88,9 @@ def cosine_topk(
         )
         qids = [int(r["id"]) for r in qrows]
         Q = [list(r["vec"]) for r in qrows]
+        if not qids:
+            spark = embeddings.sparkSession
+            return spark.createDataFrame([], _TOPK_SCHEMA)
 
         def part(batches):
             Qm = np.asarray(Q, dtype="float64")

@@ -93,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
         hier = None
         if args.hierarchy:
             hier = spark.read.parquet(args.hierarchy)
+        elif args.lexicon and args.lexicon.endswith(".obo"):
+            # the same OBO file carries the is_a axioms: build the closure
+            # from it (S6 production side) unless an explicit --hierarchy
+            # parquet overrides
+            from pmcanalysis_spark.sources.obo import hierarchy_from_obo
+
+            hier = hierarchy_from_obo(spark, path=args.lexicon)
         elif args.synthetic:
             from pmcanalysis_spark.fixtures import build_hierarchy_terms
             from pmcanalysis_spark.schemas import HIERARCHY

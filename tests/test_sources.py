@@ -219,3 +219,33 @@ def test_to_gaf_golden(spark):
     assert fields[11] == "disease"
     assert fields[12] == "taxon:9606"
     assert GAF_HEADER.startswith("!DB")
+
+
+def test_obo_closure_equals_fixture_closure(spark):
+    """hierarchy_from_obo on the fixture-equivalent OBO file reproduces the
+    fixture transitive closure exactly (S6 builder == ELK-flattened shape),
+    and the flagship gives identical triples either way."""
+    from pmcanalysis_spark.fixtures import (
+        build_hierarchy_terms,
+        build_lexicon,
+        build_web_pages,
+        fixture_obo_text,
+    )
+    from pmcanalysis_spark.pipeline import build_triples
+    from pmcanalysis_spark.schemas import HIERARCHY, WEB_PAGES
+    from pmcanalysis_spark.sources.obo import hierarchy_from_obo
+
+    text = fixture_obo_text()
+    hier_obo = hierarchy_from_obo(spark, text)
+    _, closure = build_hierarchy_terms()
+    assert {tuple(r) for r in hier_obo.collect()} == set(closure)
+
+    pages = build_web_pages(150)
+    lex = [(e.name, e.term_id) for e in build_lexicon()]
+    df = spark.createDataFrame(pages, WEB_PAGES)
+    hier_fx = spark.createDataFrame(closure, HIERARCHY)
+    t_obo = {tuple(r) for r in build_triples(df, lex, hierarchy=hier_obo)
+             .select("subj", "pred", "obj", "nab").collect()}
+    t_fx = {tuple(r) for r in build_triples(df, lex, hierarchy=hier_fx)
+            .select("subj", "pred", "obj", "nab").collect()}
+    assert t_obo == t_fx and t_obo
