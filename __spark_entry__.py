@@ -634,7 +634,8 @@ def q_kg_term_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_terms(lex)
 
 
-# rows-only queries (no SQL oracle: python-UDF or float-order dependent)
+# ANN + linking queries (r2: every one carries a SQL oracle — numpy/BLAS
+# float-order differences are absorbed by ROUND(x, 6) on both sides)
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 8 deterministic centroids (the vectors with vec_id < 8),

@@ -112,45 +112,95 @@ def transitive_closure(edges: list[tuple[str, str]]) -> list[tuple[str, str]]:
     [(term_id, ancestor_id)], the flattened-superclass set per term (the
     shape ELK returns, ref ParseMedline.groovy:151-161).
 
-    Iterative DFS with memoization; cycle-safe (a cycle member's ancestor
-    set is the union along the cycle, never including a self-loop unless the
-    input had one). Output sorted for determinism.
+    Cycle-correct via SCC condensation (iterative Tarjan, so neither deep
+    chains nor cycles hit the recursion limit): members of a cycle are
+    mutual ancestors (minus self), plus everything reachable from the
+    cycle. Ontologies are DAGs in practice, but a malformed is_a loop must
+    not silently drop ancestors (property-tested against an independent
+    fixpoint reference in tests/test_properties.py). Output sorted for
+    determinism.
     """
     parents: dict[str, list[str]] = {}
+    nodes: list[str] = []
+    seen_nodes: set[str] = set()
     for c, p in edges:
         parents.setdefault(c, []).append(p)
-    anc: dict[str, set[str]] = {}
+        for x in (c, p):
+            if x not in seen_nodes:
+                seen_nodes.add(x)
+                nodes.append(x)
 
-    def ancestors_of(start: str) -> set[str]:
-        # iterative post-order so deep ontologies don't hit the recursion limit
-        stack = [(start, iter(parents.get(start, ())))]
-        on_stack = {start}
-        while stack:
-            node, it = stack[-1]
+    # iterative Tarjan over the child->parent graph: SCCs complete only
+    # after everything reachable from them, so comp-closure unions resolve
+    # in emission order
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stck: list[str] = []
+    comp_of: dict[str, int] = {}
+    comp_members: list[list[str]] = []
+    counter = 0
+
+    for root in nodes:
+        if root in index:
+            continue
+        work: list[tuple[str, int]] = [(root, 0)]
+        while work:
+            node, pi = work[-1]
+            if pi == 0:
+                index[node] = low[node] = counter
+                counter += 1
+                stck.append(node)
+                on_stack.add(node)
             advanced = False
-            for p in it:
-                if p in anc:
-                    continue
-                if p in on_stack:  # cycle: defer, union resolves below
-                    continue
-                stack.append((p, iter(parents.get(p, ()))))
-                on_stack.add(p)
-                advanced = True
-                break
-            if not advanced:
-                s: set[str] = set()
-                for p in parents.get(node, ()):
-                    s.add(p)
-                    s |= anc.get(p, set())
-                s.discard(node)
-                anc[node] = s
-                stack.pop()
-                on_stack.discard(node)
-        return anc[start]
+            ps = parents.get(node, ())
+            while pi < len(ps):
+                p = ps[pi]
+                pi += 1
+                if p not in index:
+                    work[-1] = (node, pi)
+                    work.append((p, 0))
+                    advanced = True
+                    break
+                if p in on_stack:
+                    low[node] = min(low[node], index[p])
+            if advanced:
+                continue
+            work.pop()
+            if low[node] == index[node]:
+                cid = len(comp_members)
+                members: list[str] = []
+                while True:
+                    w = stck.pop()
+                    on_stack.discard(w)
+                    comp_of[w] = cid
+                    members.append(w)
+                    if w == node:
+                        break
+                comp_members.append(members)
+            if work:
+                parent_node = work[-1][0]
+                low[parent_node] = min(low[parent_node], low[node])
+
+    # comp emission order == reverse topological wrt child->parent edges:
+    # by the time a comp is emitted, every comp it points to is done
+    comp_closure: list[set[str]] = []
+    for cid, members in enumerate(comp_members):
+        s: set[str] = set()
+        for m in members:
+            for p in parents.get(m, ()):
+                pc = comp_of[p]
+                if pc != cid:
+                    # reaching any member of the parent comp reaches them all
+                    s.update(comp_members[pc])
+                    s |= comp_closure[pc]
+        comp_closure.append(s)
 
     out: list[tuple[str, str]] = []
     for term in sorted(parents):
-        for a in sorted(ancestors_of(term)):
+        cid = comp_of[term]
+        anc = set(comp_members[cid]) - {term} | comp_closure[cid]
+        for a in sorted(anc):
             out.append((term, a))
     return out
 

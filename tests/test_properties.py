@@ -107,3 +107,81 @@ def test_closure_idempotent():
     once = close(docs)
     twice = close(once)
     assert once == twice
+
+
+# --- S6 transitive closure properties (r2) --------------------------------
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).map(
+        lambda t: (f"n{t[0]}", f"n{t[1]}")
+    ),
+    max_size=40,
+)
+
+
+def _reachable(edges):
+    """Reference closure by fixpoint iteration (independent of the DFS)."""
+    parents = {}
+    for c, p in edges:
+        parents.setdefault(c, set()).add(p)
+    clo = {c: set(ps) for c, ps in parents.items()}
+    changed = True
+    while changed:
+        changed = False
+        for c in list(clo):
+            add = set()
+            for p in clo[c]:
+                add |= clo.get(p, set())
+            if not add <= clo[c]:
+                clo[c] |= add
+                changed = True
+    return {(c, a) for c, ps in clo.items() for a in ps if a != c}
+
+
+@given(_edge_lists)
+@settings(max_examples=200, deadline=None)
+def test_transitive_closure_matches_fixpoint(edges):
+    from pmcanalysis_spark.sources.obo import transitive_closure
+
+    got = set(transitive_closure(edges))
+    assert got == _reachable(edges)
+
+
+@given(_edge_lists)
+@settings(max_examples=200, deadline=None)
+def test_transitive_closure_is_transitive_and_irreflexive(edges):
+    from pmcanalysis_spark.sources.obo import transitive_closure
+
+    clo = set(transitive_closure(edges))
+    assert all(a != b for a, b in clo)
+    have = {}
+    for a, b in clo:
+        have.setdefault(a, set()).add(b)
+    for a, b in clo:
+        for c in have.get(b, ()):
+            if c != a:
+                assert (a, c) in clo, (a, b, c)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False), min_size=4, max_size=4
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_geomean_simm_scalar_reference(feature_rows):
+    """F6 scalar reference: exp(mean(ln(nonzero))) == pow(prod, 1/n)."""
+    for feats in feature_rows:
+        nz = [f for f in feats if f > 0]
+        if not nz:
+            continue
+        prod = 1.0
+        for f in nz:
+            prod *= f
+        via_pow = math.pow(prod, 1.0 / len(nz))
+        via_log = math.exp(sum(math.log(f) for f in nz) / len(nz))
+        assert abs(via_pow - via_log) < 1e-9
