@@ -99,3 +99,15 @@ def test_query_matches_oracle(spark, con, name):
     assert len(got) == len(exp), f"{name}: rowcount spark={len(got)} duck={len(exp)}"
     mismatches = [(g, e) for g, e in zip(got, exp) if g != e]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_queries_survive_ansi_on_session(spark):
+    """The driver supplies its own SparkSession (Spark 4 defaults ANSI ON);
+    _ensure_confs must flip it back before any score math divides by zero."""
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = entrymod.queries()["kg_triples_scored"](spark, SF_DIR)
+        assert df.count() > 0
+        assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
