@@ -116,6 +116,24 @@ def build_triples(
             min_name_len=cfg.min_name_len,
             ancestors=anc,
         )
+    return triples_from_doc_terms(dt, cfg=cfg, assume_distinct=True)
+
+
+def triples_from_doc_terms(
+    dt: DataFrame,
+    cfg: PipelineConfig | None = None,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """doc_terms(term_id, doc_id) -> scored triples: the back half of the
+    flagship, exposed so callers holding a MATERIALIZED doc_terms table
+    (e.g. the incremental streaming accumulator) can re-score without
+    re-running NER. ``assume_distinct=True`` skips the dedup shuffle when
+    the input is already per-doc distinct (the fused UDF's contract).
+    """
+    cfg = cfg or PipelineConfig()
+    if not assume_distinct:
+        # accumulated tables may carry re-crawl duplicates across appends
+        dt = dt.select("term_id", "doc_id").distinct()
     # 64-bit surrogate doc keys: string urls off the shuffle path (collision
     # probability ~n^2/2^65; at true 10^12-doc scale swap for the raw url or
     # a 128-bit key — flagged in LINEAGE docs)
