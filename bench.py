@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "kg_sent_pairs",
     "dd_exact_dedup",
     "dd_minhash",
+    "dd_minhash_lsh_pairs",
     "dd_simhash",
     "dd_embedding_neardup_scalable",
     "sim_ivf_topk",
@@ -38,6 +39,9 @@ BENCH_QUERIES = [
     "ts_quality",
     "ts_lang_id",
     "ts_fingerprint",
+    "ts_repetition",
+    "ts_top_ngrams",
+    "link_scores",
     "sim_cosine_topk",
     "ev_daily_counts",
     "ev_topk_users",
