@@ -39,11 +39,19 @@ def build_serving_tables(
     from .lineage import materialize_stage
 
     paths: dict[str, str] = {}
-    inv = doc_terms.select("term_id", "doc_id").distinct().sortWithinPartitions(
-        "term_id"
+    n_parts = max(doc_terms.sparkSession.sparkContext.defaultParallelism // 4, 1)
+    # repartition FIRST, sort within partitions LAST: each parquet file then
+    # holds a contiguous term_id range and the row-group min/max stats make
+    # the point-lookup IN-filter prune (sorting before the repartition would
+    # be destroyed by the shuffle)
+    inv = (
+        doc_terms.select("term_id", "doc_id")
+        .distinct()
+        .repartition(n_parts, "term_id")
+        .sortWithinPartitions("term_id")
     )
     _, res = materialize_stage(
-        inv.repartition(max(doc_terms.sparkSession.sparkContext.defaultParallelism // 4, 1), "term_id"),
+        inv,
         "serving_inverted",
         base_dir,
         key_col="term_id",
