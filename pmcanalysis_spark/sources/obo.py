@@ -97,7 +97,9 @@ def parse_obo_is_a(text: str) -> list[tuple[str, str]]:
         elif line.startswith("id:"):
             current_id = line[3:].strip()
         elif line.startswith("is_a:"):
-            target = line[5:].split("!", 1)[0].strip()
+            # strip the optional trailing comment (! name) and qualifier
+            # block ({implied="true"}) of the OBO 1.4 syntax
+            target = line[5:].split("!", 1)[0].split("{", 1)[0].strip()
             if target:
                 pending.append(target)
         elif line.startswith("is_obsolete:") and line[12:].strip() == "true":

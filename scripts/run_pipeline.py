@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cores", type=int, default=None, help="local mode cores (ignored under a real master)")
     ap.add_argument("--range-partitions", type=int, default=None,
                     help="repartitionByRange(url) on ingest (disjoint lineage key ranges)")
+    ap.add_argument("--stream", action="store_true",
+                    help="incremental mode: drain new --input files (availableNow), "
+                         "append doc_terms exactly-once, re-score triples over the "
+                         "accumulator (empty drains resume)")
     args = ap.parse_args(argv)
 
     import hashlib
@@ -78,53 +82,64 @@ def main(argv: list[str] | None = None) -> int:
 
         lex = [(e.name, e.term_id) for e in build_lexicon()]
 
+    hier = None
+    if args.hierarchy:
+        hier = spark.read.parquet(args.hierarchy)
+    elif args.lexicon and args.lexicon.endswith(".obo"):
+        # the same OBO file carries the is_a axioms: build the closure
+        # from it (S6 production side) unless an explicit --hierarchy
+        # parquet overrides
+        from pmcanalysis_spark.sources.obo import hierarchy_from_obo
+
+        hier = hierarchy_from_obo(spark, path=args.lexicon)
+    elif args.synthetic:
+        from pmcanalysis_spark.fixtures import build_hierarchy_terms
+        from pmcanalysis_spark.schemas import HIERARCHY
+
+        _, closure = build_hierarchy_terms()
+        hier = spark.createDataFrame(closure, HIERARCHY)
+
+    cfg = PipelineConfig(
+        lang=args.lang,
+        a_prefix=args.a_prefix,
+        b_prefixes=tuple(args.b_prefix or ["HP:", "MP:"]),
+        pred=args.pred,
+    )
+
     t0 = time.perf_counter()
-    resumed = try_resume(spark, args.output, "triples", fp)
-    if resumed is not None:
-        out, res = resumed
+    if args.stream:
+        from pmcanalysis_spark.streaming.incremental import run_incremental_kg
+
+        out, res = run_incremental_kg(
+            spark, args.input, args.output, lex, hierarchy=hier, cfg=cfg
+        )
     else:
-        if args.synthetic:
-            from pmcanalysis_spark.fixtures import bench_pages_df
-
-            web_pages = bench_pages_df(spark, args.synthetic)
+        resumed = try_resume(spark, args.output, "triples", fp)
+        if resumed is not None:
+            out, res = resumed
         else:
-            web_pages = spark.read.parquet(args.input)
+            if args.synthetic:
+                from pmcanalysis_spark.fixtures import bench_pages_df
 
-        hier = None
-        if args.hierarchy:
-            hier = spark.read.parquet(args.hierarchy)
-        elif args.lexicon and args.lexicon.endswith(".obo"):
-            # the same OBO file carries the is_a axioms: build the closure
-            # from it (S6 production side) unless an explicit --hierarchy
-            # parquet overrides
-            from pmcanalysis_spark.sources.obo import hierarchy_from_obo
+                web_pages = bench_pages_df(spark, args.synthetic)
+            else:
+                web_pages = spark.read.parquet(args.input)
 
-            hier = hierarchy_from_obo(spark, path=args.lexicon)
-        elif args.synthetic:
-            from pmcanalysis_spark.fixtures import build_hierarchy_terms
-            from pmcanalysis_spark.schemas import HIERARCHY
+            from pmcanalysis_spark.pipeline import ingest
 
-            _, closure = build_hierarchy_terms()
-            hier = spark.createDataFrame(closure, HIERARCHY)
+            web_pages = ingest(web_pages, args.range_partitions)
 
-        cfg = PipelineConfig(
-            lang=args.lang,
-            a_prefix=args.a_prefix,
-            b_prefixes=tuple(args.b_prefix or ["HP:", "MP:"]),
-            pred=args.pred,
-        )
-
-        from pmcanalysis_spark.pipeline import ingest
-
-        web_pages = ingest(web_pages, args.range_partitions)
-
-        triples = build_triples(web_pages, lex, hierarchy=hier, cfg=cfg)
-        out, res = materialize_stage(
-            triples, "triples", args.output, key_col="subj", fingerprint=fp
-        )
+            triples = build_triples(web_pages, lex, hierarchy=hier, cfg=cfg)
+            out, res = materialize_stage(
+                triples, "triples", args.output, key_col="subj", fingerprint=fp
+            )
 
     # entity canonicalization stage (north_star): merge xref/name-shared
-    # terms, materialize the entities map and the canonical triple table
+    # terms, materialize the entities map and the canonical triple table.
+    # In stream mode the downstream fingerprint is the triples stage's OWN
+    # (accumulator-snapshot) fingerprint — the argv hash is stable across
+    # drains and would wrongly resume stale canonical triples.
+    stage_fp = res.input_fingerprint if args.stream else fp
     from pmcanalysis_spark.canonicalize import canonicalize_terms, rewrite_triples_canonical
 
     lex_df = spark.createDataFrame(
@@ -132,13 +147,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     entities = canonicalize_terms(lex_df)
     ents, eres = materialize_stage(
-        entities, "entities", args.output, key_col="term_id", fingerprint=fp
+        entities, "entities", args.output, key_col="term_id", fingerprint=stage_fp
     )
     canon_triples = rewrite_triples_canonical(
         out.select("subj", "pred", "obj", "nab", "na", "nb", "npmi"), ents
     )
     _, cres = materialize_stage(
-        canon_triples, "triples_canonical", args.output, key_col="subj", fingerprint=fp
+        canon_triples, "triples_canonical", args.output, key_col="subj", fingerprint=stage_fp
     )
     wall = time.perf_counter() - t0
     print(

@@ -249,3 +249,16 @@ def test_obo_closure_equals_fixture_closure(spark):
     t_fx = {tuple(r) for r in build_triples(df, lex, hierarchy=hier_fx)
             .select("subj", "pred", "obj", "nab").collect()}
     assert t_obo == t_fx and t_obo
+
+
+def test_parse_obo_is_a_qualifier_block():
+    from pmcanalysis_spark.sources.obo import parse_obo_is_a
+
+    obo = """
+[Term]
+id: X:1
+name: a
+is_a: X:2 {implied="true"} ! parent name
+is_a: X:3 ! other
+"""
+    assert parse_obo_is_a(obo) == [("X:1", "X:2"), ("X:1", "X:3")]
