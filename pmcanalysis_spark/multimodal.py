@@ -58,6 +58,82 @@ _JPEG_SOF_MARKERS = frozenset(
 ) - {0xC4, 0xC8, 0xCC}  # SOF0-15 minus DHT/JPG/DAC
 
 
+def _pnm_header(payload: bytes):
+    """P5/P6 header -> (channels, width, height, maxval, data_offset) or
+    None. Handles whitespace runs and '#' comments per the netpbm spec."""
+    if payload[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 3 if payload[:2] == b"P6" else 1
+    i, n, vals = 2, len(payload), []
+    while len(vals) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c.isspace():
+            i += 1
+            continue
+        if c == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and payload[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            return None
+        vals.append(int(payload[i:j]))
+        i = j
+    if len(vals) < 3 or i >= n:
+        return None
+    return channels, vals[0], vals[1], vals[2], i + 1  # one ws after maxval
+
+
+def decode_pixels(payload: bytes):
+    """REAL pixel decode (pure stdlib + numpy) for the formats that need no
+    codec: 24-bit uncompressed BMP and binary PGM/PPM. Returns a
+    (height, width, channels) uint8 array, or None for formats requiring
+    a codec library (PNG/JPEG/GIF — header-only there)."""
+    import numpy as np
+
+    if len(payload) >= 54 and payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0 or w <= 0 or h_raw == 0:
+            return None
+        h = abs(h_raw)
+        row_bytes = (w * 3 + 3) // 4 * 4
+        if off + row_bytes * h > len(payload):
+            return None
+        buf = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=off)
+        rows = buf.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        if h_raw > 0:  # bottom-up storage
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+    hdr = _pnm_header(payload)
+    if hdr is not None:
+        ch, w, h, maxval, off = hdr
+        if maxval > 255 or w <= 0 or h <= 0:
+            return None
+        need = w * h * ch
+        if off + need > len(payload):
+            return None
+        buf = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+        return buf.reshape(h, w, ch).copy()
+    return None
+
+
+def resize_nearest(pixels, out_h: int, out_w: int):
+    """Nearest-neighbor resize of an (h, w, c) uint8 array — the real
+    resize kernel (index sampling, no interpolation library needed)."""
+    import numpy as np
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[ri][:, ci]
+
+
 def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
     """REAL header parse (pure stdlib, no PIL): (width, height) for
     PNG (IHDR), GIF87a/89a (logical screen descriptor) and JPEG (first SOFn
@@ -76,6 +152,16 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
             int.from_bytes(payload[6:8], "little"),
             int.from_bytes(payload[8:10], "little"),
         )
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        return (
+            int.from_bytes(payload[18:22], "little", signed=True),
+            abs(int.from_bytes(payload[22:26], "little", signed=True)),
+        )
+    if payload[:2] in (b"P5", b"P6"):
+        hdr = _pnm_header(payload)
+        if hdr is not None:
+            return hdr[1], hdr[2]
+        return None
     if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
         # walk the marker segments to the first start-of-frame
         i = 2
@@ -107,21 +193,42 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """Width/height are REAL (header parse above) whenever the payload is an
-    actual PNG/GIF/JPEG. Pixel-level feature vectors still need PIL/opencv
-    (absent from this container): for recognized images the feature slot is
-    a deterministic byte-derived fake (clearly not a semantic embedding);
-    for unrecognized payloads the whole decode falls back to the fake iff
-    USE_FAKE_DECODE, else raises.
+    """Decode tiering, most-real first:
+
+    1. BMP / PGM / PPM: REAL pixels (decode_pixels) -> real width/height and
+       real statistical features (global + per-channel means, std, aspect).
+    2. PNG / GIF / JPEG: REAL width/height (header parse); pixel features
+       need a codec library absent from this container, so the feature slot
+       is a deterministic byte-derived fake (clearly not semantic).
+    3. Unrecognized payloads: full fake iff USE_FAKE_DECODE, else raises.
     """
+    px = decode_pixels(payload)
+    if px is not None:
+        import numpy as np
+
+        h, w = int(px.shape[0]), int(px.shape[1])
+        flat = px.astype("float64") / 255.0
+        chan = flat.mean(axis=(0, 1))
+        chan3 = list(chan) if chan.shape[0] == 3 else [float(chan[0])] * 3
+        feats = [
+            float(flat.mean()),
+            float(flat.std()),
+            float(chan3[0]),
+            float(chan3[1]),
+            float(chan3[2]),
+            float(flat.min()),
+            float(flat.max()),
+            float(w / (w + h)),
+        ]
+        return w, h, feats
     dims = parse_image_dims(payload)
     feats = [float((b % 17)) / 16.0 for b in payload[:8]]
     if dims is not None:
         return dims[0], dims[1], feats
     if not USE_FAKE_DECODE:
-        raise NotImplementedError("pixel decode requires PIL/opencv")
-    h = sum(payload[:16]) if payload else 0
-    width, height = 16 + h % 64, 16 + (h // 64) % 64
+        raise NotImplementedError("pixel decode requires a codec library")
+    hsh = sum(payload[:16]) if payload else 0
+    width, height = 16 + hsh % 64, 16 + (hsh // 64) % 64
     return width, height, feats
 
 
@@ -173,3 +280,47 @@ def extract_media_features(media: DataFrame, frame_every: int = 10) -> DataFrame
     return media.select("media_id", "kind", "payload").mapInPandas(
         run, schema=MEDIA_FEATURES
     )
+
+
+THUMBNAILS = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("out_w", IntegerType(), False),
+        StructField("out_h", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("pixels", BinaryType(), False),  # raw out_h*out_w*c RGB
+    ]
+)
+
+
+def decode_and_resize(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """REAL decode+resize pass for codec-free formats (BMP/PGM/PPM):
+    nearest-neighbor thumbnails as raw channel-interleaved bytes. Rows whose
+    payloads need a codec library are dropped (count them against
+    media_metadata to monitor coverage). Arrow-batched; the binary payload
+    column is the only wide column crossing Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, ws, hs, cs, px = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pixels = decode_pixels(bytes(payload) if payload is not None else b"")
+                if pixels is None:
+                    continue
+                thumb = resize_nearest(pixels, out_h, out_w)
+                mids.append(mid)
+                ws.append(out_w)
+                hs.append(out_h)
+                cs.append(int(thumb.shape[2]))
+                px.append(thumb.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="object"),
+                    "out_w": pd.Series(ws, dtype="int32"),
+                    "out_h": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(cs, dtype="int32"),
+                    "pixels": pd.Series(px, dtype="object"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=THUMBNAILS)

@@ -94,3 +94,91 @@ def test_extract_media_features_real_dims(spark):
     got = {r["media_id"]: (r["width"], r["height"])
            for r in extract_media_features(df).collect()}
     assert got == {"m1": (640, 480), "m2": (800, 600)}
+
+
+def _tiny_bmp(w, h, rgb_rows):
+    """Build a 24-bit uncompressed BMP from rgb_rows[h][w] = (r,g,b)."""
+    row_bytes = (w * 3 + 3) // 4 * 4
+    off = 54
+    size = off + row_bytes * h
+    hdr = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00" * 4 + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)  # positive: bottom-up
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (row_bytes * h).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    body = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = b""
+        for x in range(w):
+            r, g, b = rgb_rows[y][x]
+            row += bytes([b, g, r])
+        body += row + b"\x00" * (row_bytes - len(row))
+    return hdr + body
+
+
+def _tiny_ppm(w, h, rgb_rows):
+    body = bytes(c for row in rgb_rows for px in row for c in px)
+    return f"P6\n# comment\n{w} {h}\n255\n".encode() + body
+
+
+def test_decode_pixels_bmp_and_ppm_real():
+    import numpy as np
+
+    from pmcanalysis_spark.multimodal import decode_pixels
+
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    for payload in (_tiny_bmp(2, 2, rows), _tiny_ppm(2, 2, rows)):
+        px = decode_pixels(payload)
+        assert px is not None and px.shape == (2, 2, 3)
+        assert tuple(px[0, 0]) == (255, 0, 0)
+        assert tuple(px[1, 1]) == (10, 20, 30)
+    assert decode_pixels(b"not an image") is None
+
+
+def test_resize_nearest_real():
+    import numpy as np
+
+    from pmcanalysis_spark.multimodal import decode_pixels, resize_nearest
+
+    rows = [[(0, 0, 0), (255, 255, 255)], [(255, 0, 0), (0, 255, 0)]]
+    px = decode_pixels(_tiny_ppm(2, 2, rows))
+    up = resize_nearest(px, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert tuple(up[0, 0]) == (0, 0, 0) and tuple(up[0, 3]) == (255, 255, 255)
+    assert tuple(up[3, 0]) == (255, 0, 0) and tuple(up[3, 3]) == (0, 255, 0)
+
+
+def test_extract_media_features_real_pixels(spark):
+    """BMP payloads through the Spark path yield REAL stats, not fakes."""
+    from pmcanalysis_spark.multimodal import MEDIA, extract_media_features
+
+    rows = [[(255, 255, 255)] * 2] * 2  # all-white 2x2
+    df = spark.createDataFrame(
+        [("m1", "image", "image/bmp", 60, bytearray(_tiny_bmp(2, 2, rows)))], MEDIA
+    )
+    [r] = extract_media_features(df).collect()
+    assert (r["width"], r["height"]) == (2, 2)
+    feats = list(r["features"])
+    assert abs(feats[0] - 1.0) < 1e-6  # real mean of an all-white image
+    assert abs(feats[1]) < 1e-6  # zero std
+
+
+def test_decode_and_resize_spark_path(spark):
+    from pmcanalysis_spark.multimodal import MEDIA, decode_and_resize
+
+    rows = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    data = [
+        ("ok", "image", "image/x-portable-pixmap", 30, bytearray(_tiny_ppm(2, 2, rows))),
+        ("codec", "image", "image/png", 20, bytearray(b"\x89PNG\r\n\x1a\nXXXXIHDR")),
+    ]
+    df = spark.createDataFrame(data, MEDIA)
+    got = decode_and_resize(df, out_w=4, out_h=4).collect()
+    assert [r["media_id"] for r in got] == ["ok"]  # codec-needing row dropped
+    r = got[0]
+    assert (r["out_w"], r["out_h"], r["channels"]) == (4, 4, 3)
+    assert len(bytes(r["pixels"])) == 4 * 4 * 3
+    assert bytes(r["pixels"])[:3] == bytes([1, 2, 3])
