@@ -859,6 +859,31 @@ def q_kg_obo_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hierarchy_from_obo(spark, _obo_text())
 
 
+def q_kg_serving_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Servlet-style ranked point lookup (DermoServlet.groovy:440-447): the
+    OWL query 'OP:0000000' expands to itself + all subclasses; docs rank by
+    number of distinct matched terms, doc_id tie-break, top 100."""
+    from pyspark.sql import Window
+
+    m = _mentions(spark, sf_dir)
+    hier = _hier_df(spark)
+    expansion = (
+        hier.filter(F.col("ancestor_id") == "OP:0000000")
+        .select("term_id")
+        .unionByName(spark.createDataFrame([("OP:0000000",)], "term_id string"))
+    )
+    hits = m.join(F.broadcast(expansion), "term_id")
+    ranked = hits.groupBy("doc_id").agg(
+        F.countDistinct("term_id").alias("n_matched")
+    )
+    w = Window.orderBy(F.desc("n_matched"), F.asc("doc_id"))
+    return (
+        ranked.orderBy(F.desc("n_matched"), F.asc("doc_id"))
+        .limit(100)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def q_kg_obo_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5+S6 end-to-end: lexicon AND hierarchy both built from the OBO file,
     then the flagship closure-docfreq over documents — what a reference user
@@ -899,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_scored": q_kg_triples_scored,
         "kg_closure_docfreq": q_kg_closure_docfreq,
         "kg_obo_closure": q_kg_obo_closure,
+        "kg_serving_ranked": q_kg_serving_ranked,
         "kg_obo_docfreq": q_kg_obo_docfreq,
         "kg_hierarchy_rollup": q_kg_hierarchy_rollup,
         "kg_leaf_terms": q_kg_leaf_terms,
@@ -970,6 +996,23 @@ def oracle_sql() -> dict[str, str]:
             FROM mentions m JOIN hier h ON h.term_id = m.term_id
           )
           SELECT term_id, COUNT(DISTINCT doc_id) AS df FROM closed GROUP BY term_id
+        """,
+        "kg_serving_ranked": _MENTIONS_SQL + f""",
+          hier(term_id, ancestor_id) AS (VALUES {_hier_values()}),
+          expansion AS (
+            SELECT term_id FROM hier WHERE ancestor_id = 'OP:0000000'
+            UNION SELECT 'OP:0000000'
+          ),
+          ranked AS (
+            SELECT m.doc_id, COUNT(DISTINCT m.term_id) AS n_matched
+            FROM mentions m JOIN expansion e ON e.term_id = m.term_id
+            GROUP BY m.doc_id
+          )
+          SELECT doc_id, n_matched,
+            CAST(ROW_NUMBER() OVER (ORDER BY n_matched DESC, doc_id ASC) AS INT) AS rank
+          FROM ranked
+          ORDER BY n_matched DESC, doc_id ASC
+          LIMIT 100
         """,
         "kg_obo_closure": f"""
           WITH RECURSIVE

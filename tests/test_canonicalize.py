@@ -180,3 +180,24 @@ def test_author_records_from_raw_to_clusters(spark):
            ).collect()}
     assert ent[("a smith", "P1")] == ent[("a smith", "P2")]
     assert ent[("a smith", "P1")] != ent[("a smith", "P3")]
+
+
+def test_pair_scores_max_group_size_caps_megakey(spark):
+    """The defensive cap drops a mega author_key's group entirely (never a
+    partial cross-product): a 'j smith' hot key can't blow up the self-join."""
+    from pmcanalysis_spark.canonicalize import pair_scores
+
+    rows = []
+    for d in range(12):
+        rows.append({"doc_id": f"M{d:03d}", "author_key": "mega",
+                     "coauthors": ["x"], "mesh": [], "title_tokens": [],
+                     "affiliation_tokens": [], "true_entity": None})
+    for d in range(3):
+        rows.append({"doc_id": f"S{d:03d}", "author_key": "small",
+                     "coauthors": ["y"], "mesh": [], "title_tokens": [],
+                     "affiliation_tokens": [], "true_entity": None})
+    df = spark.createDataFrame(rows, AUTHOR_RECORDS)
+    got = pair_scores(df, max_group_size=10).collect()
+    keys = {r["author_key"] for r in got}
+    assert keys == {"small"}
+    assert len(got) == 3  # C(3,2) = 3 pairs
