@@ -262,3 +262,66 @@ is_a: X:2 {implied="true"} ! parent name
 is_a: X:3 ! other
 """
     assert parse_obo_is_a(obo) == [("X:1", "X:2"), ("X:1", "X:3")]
+
+
+MEDLINE_XML = """<MedlineCitationSet>
+ <MedlineCitation>
+  <PMID>1001</PMID>
+  <Article>
+   <ArticleTitle>deep parsing of text</ArticleTitle>
+   <Abstract><AbstractText>we parse text deeply</AbstractText></Abstract>
+   <Affiliation>Univ of X</Affiliation>
+   <AuthorList>
+    <Author><LastName>smith</LastName><ForeName>a</ForeName></Author>
+    <Author><LastName>jones</LastName><ForeName>b</ForeName></Author>
+   </AuthorList>
+  </Article>
+  <MeshHeadingList>
+   <MeshHeading><DescriptorName>Parsing</DescriptorName><QualifierName>methods</QualifierName></MeshHeading>
+  </MeshHeadingList>
+ </MedlineCitation>
+ <MedlineCitation>
+  <PMID>1002</PMID>
+  <Article>
+   <ArticleTitle>more deep parsing</ArticleTitle>
+   <Affiliation>Univ of X</Affiliation>
+   <AuthorList>
+    <Author><LastName>smith</LastName><ForeName>a</ForeName></Author>
+    <Author><LastName>jones</LastName><ForeName>b</ForeName></Author>
+   </AuthorList>
+  </Article>
+ </MedlineCitation>
+</MedlineCitationSet>"""
+
+
+def test_parse_medline_xml_pure():
+    from pmcanalysis_spark.sources.xml import parse_medline_xml_text
+
+    rows = parse_medline_xml_text(MEDLINE_XML)
+    assert [r["doc_id"] for r in rows] == ["1001", "1002"]
+    r = rows[0]
+    assert r["title"] == "deep parsing of text"
+    assert r["abstract"] == "we parse text deeply"
+    assert r["authors"] == ["a\tsmith", "b\tjones"]  # ForeName\tLastName key
+    assert r["mesh"] == ["Parsing", "methods"]  # descriptor AND qualifier
+    assert r["affiliation"] == "Univ of X"
+    assert parse_medline_xml_text("<broken") == []
+
+
+def test_medline_xml_to_author_entities(spark):
+    """Raw Medline XML through the full front half: parse -> per-author
+    feature records -> similarity clustering (Author2PMID end-to-end)."""
+    from pmcanalysis_spark.canonicalize import (
+        author_records_from_raw,
+        canonicalize_authors,
+    )
+    from pmcanalysis_spark.sources.xml import medline_articles
+
+    xml_df = spark.createDataFrame([(MEDLINE_XML,)], "xml string")
+    arts = medline_articles(xml_df)
+    assert arts.count() == 2
+    recs = author_records_from_raw(arts)
+    ent = {(r["author_key"], r["doc_id"]): r["entity_id"]
+           for r in canonicalize_authors(recs).collect()}
+    # same coauthor + affiliation + shared title tokens: one smith entity
+    assert ent[("a\tsmith", "1001")] == ent[("a\tsmith", "1002")]
