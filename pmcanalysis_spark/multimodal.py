@@ -153,10 +153,9 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
             int.from_bytes(payload[8:10], "little"),
         )
     if len(payload) >= 26 and payload[:2] == b"BM":
-        return (
-            int.from_bytes(payload[18:22], "little", signed=True),
-            abs(int.from_bytes(payload[22:26], "little", signed=True)),
-        )
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        return (w, h) if w > 0 and h > 0 else None
     if payload[:2] in (b"P5", b"P6"):
         hdr = _pnm_header(payload)
         if hdr is not None:
