@@ -318,10 +318,22 @@ def q_dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_docs + a repartition to defaultParallelism: the sf parquet is ONE
+    file (one scan task), so the shingle/ngram EXPLODE map side of the dedup
+    queries would otherwise run single-threaded. The repartition ships 5k
+    short rows (~ms) and unlocks cores x parallel explode. At 100 TB the
+    scan has thousands of splits and the explode parallelizes off the scan
+    itself — this shuffle exists because of the tiny-input edge, and its
+    cost stays O(rows), never O(exploded rows)."""
+    docs = _docs(spark, sf_dir)
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 def q_dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmcanalysis_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).withColumn(
+    return ngram_jaccard_pairs(_docs_parallel(spark, sf_dir), threshold=0.5).withColumn(
         "jaccard", F.round("jaccard", 6)
     )
 
@@ -329,7 +341,7 @@ def q_dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmcanalysis_spark.operators.dedup import minhash_signatures
 
-    sig = minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
+    sig = minhash_signatures(_docs_parallel(spark, sf_dir), num_hashes=8)
     return sig.select("doc_id", F.posexplode("sig").alias("hash_idx", "minhash"))
 
 
@@ -338,13 +350,13 @@ def q_dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 hashes, 4 bands of 2 — docs colliding on any full band pair up."""
     from pmcanalysis_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=8, bands=4)
+    return minhash_lsh_pairs(_docs_parallel(spark, sf_dir), num_hashes=8, bands=4)
 
 
 def q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmcanalysis_spark.operators.dedup import simhash64
 
-    return simhash64(_docs(spark, sf_dir))
+    return simhash64(_docs_parallel(spark, sf_dir))
 
 
 def q_dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,7 +435,7 @@ def q_ts_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide boilerplate candidates: top-20 trigrams by doc frequency."""
     from pmcanalysis_spark.operators.textstats import top_ngrams
 
-    return top_ngrams(_docs(spark, sf_dir), n=3, k=20)
+    return top_ngrams(_docs_parallel(spark, sf_dir), n=3, k=20)
 
 
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
