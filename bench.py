@@ -183,7 +183,10 @@ def main() -> None:
     # 32-core level shares turbo/clock headroom with nothing and shows the
     # box's max throughput; its 8->32 efficiency is also reported).
     levels = sorted({2, max(2, cores_hi // 4), cores_hi})
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # 3 reps: the gate is the MEDIAN of the drift-matched per-rep ratios
+    # (ADVICE r2: max over noisy ratios is upward-biased), and a median of 3
+    # is robust to one bad noise window where a mean/median of 2 is not
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     walls: dict[int, list[float]] = {c: [] for c in levels}
     n_ref = None
     for _rep in range(reps):
@@ -229,16 +232,19 @@ def main() -> None:
     lo, mid, hi = levels[0], levels[min(1, len(levels) - 1)], levels[-1]
     control = _cpu_control([lo, mid])
     # Drift-matched estimator: rep i runs the lo and mid levels back-to-back,
-    # so the ratio WITHIN a rep compares the same machine-noise window; the
-    # best rep is the cleanest controlled measurement. The min-based number
-    # (independent per-level minima) can pair a fast lo-window with a slow
-    # mid-window and flickers across the gate on this box (measured spread
-    # 0.76-0.89 for identical code); the paired estimator is stable >= 0.8.
+    # so the ratio WITHIN a rep compares the same machine-noise window. The
+    # min-based number (independent per-level minima) can pair a fast
+    # lo-window with a slow mid-window and flickers across the gate on this
+    # box (measured spread 0.76-0.89 for identical code). The gate is the
+    # MEDIAN of the per-rep ratios (ADVICE r2: a max over noisy ratios is
+    # upward-biased cherry-picking); min/max are kept as spread diagnostics.
+    import statistics
+
     pair_effs = [
         round((walls[lo][i] / walls[mid][i]) / (mid / lo), 3)
         for i in range(len(walls[lo]))
     ]
-    raw_eff = max(pair_effs)
+    raw_eff = round(statistics.median(pair_effs), 3)
     ceiling = max(control["efficiency"], 1e-9)
     pipeline = {
         "n_pages": N_BENCH_PAGES,
@@ -249,8 +255,9 @@ def main() -> None:
             "n_cores": lo,
             "four_n_cores": mid,
             "efficiency": raw_eff,
-            "estimator": "max over drift-matched per-rep (lo,mid) pairs",
+            "estimator": "median over drift-matched per-rep (lo,mid) pairs",
             "per_rep_efficiencies": pair_effs,
+            "spread": {"min": min(pair_effs), "max": max(pair_effs)},
             "min_based_efficiency": eff(lo, mid),
             # hardware ceiling measured in-run: a no-Spark CPython burn at
             # the same two levels (turbo-vs-base-clock + shared-cache tax
@@ -282,8 +289,9 @@ def main() -> None:
                 for c in levels
             )
             + f"\nscaling efficiency N={lo} -> 4N={mid}: "
-            f"**{pipeline['scaling_gate']['efficiency']}** (gate: >= 0.8; max over "
-            f"drift-matched per-rep pairs {pair_effs} — each rep runs both levels "
+            f"**{pipeline['scaling_gate']['efficiency']}** (gate: >= 0.8; MEDIAN over "
+            f"drift-matched per-rep pairs {pair_effs}, spread "
+            f"[{min(pair_effs)}, {max(pair_effs)}] — each rep runs both levels "
             f"back-to-back in the same noise window; independent per-level minima "
             f"give {pipeline['scaling_gate']['min_based_efficiency']} and flicker "
             f"0.76-0.89 across identical-code runs on this box). "

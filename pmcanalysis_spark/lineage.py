@@ -50,20 +50,19 @@ def _fingerprint(df: DataFrame, extra: str = "") -> str:
     Matches Iceberg's snapshot-id role: same plan + same inputs => same
     fingerprint => stage is resumable.
 
-    Canonicalization strips the session-unique parts of the plan string —
-    expression ids (``col#123``) and Python object addresses in UDF reprs
-    (``<function f at 0x7f...>``): two identical plans built in the same
-    session otherwise never fingerprint-match, which silently disabled
-    resume for every caller that didn't pass an explicit fingerprint.
-    Prefer an explicit fingerprint for production jobs (argv hash) — UDF
-    bodies are NOT captured by the plan string.
+    Canonicalization uses Catalyst's own ``canonicalized`` form of the
+    analyzed plan — the structure Spark itself compares for plan equality:
+    expression ids renumber deterministically and Python-UDF object
+    addresses are dropped, while DATA LITERALS survive untouched (an r2
+    blanket-regex version rewrote ``'tag#1'``/hex-string constants too, so
+    two genuinely different filters could fingerprint-equal and silently
+    resume a stale snapshot). Prefer an explicit fingerprint for production
+    jobs (argv hash) — UDF *bodies* are not captured by any plan string
+    (only the function name is).
     """
     import hashlib
-    import re
 
-    plan = df._jdf.queryExecution().logical().toString()
-    plan = re.sub(r"#\d+", "#", plan)
-    plan = re.sub(r"0x[0-9a-fA-F]+", "0x", plan)
+    plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
     return hashlib.md5((plan + "|" + extra).encode()).hexdigest()
 
 

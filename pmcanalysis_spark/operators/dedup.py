@@ -273,11 +273,13 @@ def embedding_neardup_scalable(
             V = np.vstack(pdf["vec"].to_numpy())
             S = (V @ Pm.T) >= 0.0  # (n, T*planes)
             B = S.reshape(len(pdf), num_tables, num_planes) @ w  # (n, T)
+            vn = np.sqrt((V * V).sum(axis=1))
+            vn[vn == 0.0] = 1.0  # zero-vector guard (cosine 0, not NaN)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(dtype="int64"),
                     "vec": pdf["vec"],
-                    "norm": np.sqrt((V * V).sum(axis=1)),
+                    "norm": vn,
                     "buckets": list(B),
                 }
             )

@@ -20,14 +20,13 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b, dim: int | None = None):
-    """Dot product. With ``dim`` known, unrolls to explicit indexed terms —
-    whole-stage-codegen'd, ~20x faster than the higher-order-function fold
-    (HOF lambdas are interpreted per element). Both forms add left-to-right,
-    so the produced doubles are bit-identical."""
+    """Dot product. Both forms add left-to-right, so the produced doubles
+    are bit-identical (and match DuckDB's list_dot_product fold)."""
     if dim is not None:
-        # NOTE: measured SLOWER than the HOF fold on this Spark build for
-        # dim=64 — the 64-term expression tree trips the codegen size limit
-        # and falls back to interpreted eval. Kept for small dims (<16).
+        # NOTE: the unrolled form measured SLOWER than the HOF fold on this
+        # Spark build for dim=64 — the 64-term expression tree trips the
+        # codegen size limit and falls back to interpreted eval. Kept for
+        # small dims (<16).
         s = a[0] * b[0]
         for i in range(1, dim):
             s = s + a[i] * b[i]
@@ -40,12 +39,18 @@ def _dot(a, b, dim: int | None = None):
 
 
 def _norm(a, dim: int | None = None):
+    """L2 norm with the zero-vector guard (norm 0 -> 1): a degenerate
+    all-zero vector then scores cosine 0 against everything instead of
+    0/0 = NaN (which Spark's desc ordering ranks FIRST — the numpy kernels
+    apply the same ``n[n == 0] = 1`` guard so every impl agrees)."""
     if dim is not None:
         s = a[0] * a[0]
         for i in range(1, dim):
             s = s + a[i] * a[i]
-        return F.sqrt(s)
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+        n = F.sqrt(s)
+    else:
+        n = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
 
 
 def cosine_topk(
@@ -102,6 +107,7 @@ def cosine_topk(
                     continue
                 V = np.vstack(pdf["vec"].to_numpy())
                 vn = np.sqrt((V * V).sum(axis=1))
+                vn[vn == 0.0] = 1.0  # zero-vector guard, mirrors _norm
                 ids = pdf["id"].to_numpy(dtype="int64")
                 S = (Qm @ V.T) / np.outer(qn, vn)  # (q, batch)
                 S[qida[:, None] == ids[None, :]] = -np.inf  # self-match
@@ -297,6 +303,7 @@ def ivf_assign(
                     continue
                 V = np.vstack(pdf["vec"].to_numpy())
                 vn = np.sqrt((V * V).sum(axis=1))
+                vn[vn == 0.0] = 1.0  # zero-vector guard, mirrors _norm
                 scores = (V @ Cm.T) / np.outer(vn, cn)
                 best = cells[np.argmax(scores, axis=1)]  # first max = lowest id
                 yield pd.DataFrame(
@@ -415,11 +422,13 @@ def lsh_bucketed_topk(
                 if not len(pdf):
                     continue
                 V = np.vstack(pdf["vec"].to_numpy())
+                vn = np.sqrt((V * V).sum(axis=1))
+                vn[vn == 0.0] = 1.0  # zero-vector guard, mirrors _norm
                 yield pd.DataFrame(
                     {
                         "id": pdf["id"].to_numpy(dtype="int64"),
                         "vec": pdf["vec"],
-                        "norm": np.sqrt((V * V).sum(axis=1)),
+                        "norm": vn,
                         "bucket": ((V @ Pm.T) >= 0.0) @ w,
                     }
                 )

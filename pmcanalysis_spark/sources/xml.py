@@ -10,8 +10,12 @@ exact fields the reference pulls:
 - pmid, title, abstract, affiliation (first Affiliation text)
 - authors: ForeName + "\\t" + LastName per author (the reference's
   author_key format, Author2PMID.groovy:80-83)
-- mesh: DescriptorName AND QualifierName texts (both are added to the
-  term set, Author2PMID.groovy:90-95)
+- mesh: DescriptorName text plus the GPath-concatenated QualifierName
+  text per heading, added UNCONDITIONALLY (Author2PMID.groovy:90-95:
+  Groovy's ``m.QualifierName.text()`` concatenates all matching nodes and
+  returns "" when none match — so a qualifier-less heading contributes an
+  empty string and a multi-qualifier heading ONE joined string; replicated
+  verbatim because it changes meshscore Jaccard denominators/intersections)
 
 Feed the output straight to ``canonicalize.author_records_from_raw`` —
 raw XML to author entities with no hand-built intermediate.
@@ -70,11 +74,14 @@ def parse_medline_xml_text(xml_text: str) -> list[dict]:
             authors.append(f"{fn}\t{ln}")
         mesh: list[str] = []
         for m in cite.findall(".//MeshHeadingList/MeshHeading"):
-            for tag in ("DescriptorName", "QualifierName"):
-                for d in m.findall(tag):
-                    t = "".join(d.itertext())
-                    if t:
-                        mesh.append(t)
+            # reference quirk (Author2PMID.groovy:90-95): descriptor text,
+            # then QualifierName.text() — GPath concatenation of ALL
+            # qualifier nodes, "" when the heading has none — added
+            # unconditionally
+            mesh.append("".join(t for d in m.findall("DescriptorName")
+                                for t in d.itertext()))
+            mesh.append("".join(t for q in m.findall("QualifierName")
+                                for t in q.itertext()))
         out.append(
             {
                 "doc_id": pmid,

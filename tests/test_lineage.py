@@ -67,6 +67,42 @@ def test_fingerprint_stable_across_identical_plans(spark):
     assert _fingerprint(df1) == _fingerprint(df2)
 
 
+def test_fingerprint_distinguishes_data_literals(spark):
+    """Regression (ADVICE r2): literals that LOOK like expression ids or
+    addresses ('tag#1', hex strings) must NOT be canonicalized away — two
+    different filters fingerprinting equal would resume a stale snapshot
+    with wrong data."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.lineage import _fingerprint
+
+    d = spark.createDataFrame([("tag#1",), ("tag#2",), ("0xAB",)], "tag string")
+    assert _fingerprint(d.filter(F.col("tag") == "tag#1")) != _fingerprint(
+        d.filter(F.col("tag") == "tag#2")
+    )
+    assert _fingerprint(d.filter(F.col("tag") == "0xAB")) != _fingerprint(
+        d.filter(F.col("tag") == "0xCD")
+    )
+
+
+def test_fingerprint_stable_across_udf_rebuild(spark):
+    """mapInPandas closures repr with an object address; rebuilding the same
+    plan (fresh function object each call in real jobs) must still
+    fingerprint-match or UDF stages never resume."""
+    import pandas as pd  # noqa: F401
+
+    from pmcanalysis_spark.lineage import _fingerprint
+
+    def build():
+        def ident(batches):
+            for pdf in batches:
+                yield pdf
+
+        return spark.range(10).mapInPandas(ident, "id long")
+
+    assert _fingerprint(build()) == _fingerprint(build())
+
+
 def test_resume_completes_downstream_stages(tmp_path):
     """Regression (ADVICE r1, medium): rerunning after a crash between the
     triples commit and the entities stage must complete the missing stages,

@@ -131,3 +131,44 @@ def test_cosine_numpy_impl_matches_sql_impl(spark):
         return sorted(tuple(r) for r in out.collect())
 
     assert rows("numpy") == rows("sql")
+
+
+def test_zero_vector_impls_agree(spark):
+    """Regression (ADVICE r2): a degenerate all-zero vector must score
+    cosine 0 (zero-norm guard) in BOTH impls of every kernel — unguarded,
+    numpy emitted NaNs that were silently dropped while SQL ranked NaN
+    cosines FIRST, so the impls diverged on degenerate input."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    vecs = VECS + [(6, [0.0, 0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    def rows(df):
+        out = df.select(
+            F.col("query_id").cast("long"), F.col("item_id").cast("long"),
+            F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int"),
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    # cosine_topk: numpy needs an explicit bounded query side
+    sql = rows(cosine_topk(emb, queries=emb, k=3, impl="sql"))
+    npy = rows(cosine_topk(emb, queries=emb, k=3, impl="numpy"))
+    assert sql == npy
+    assert all(not (c != c) for (_, _, c, _) in sql)  # no NaNs survive
+    # the zero vector scores 0 against everything, never first
+    zero_ranks = [(i, c) for (q, i, c, _) in sql if q == 6]
+    assert all(c == 0.0 for _, c in zero_ranks)
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    assert rows(ivf_topk(emb, cents, k=3, impl="numpy")) == rows(
+        ivf_topk(emb, cents, k=3, impl="sql")
+    )
+    assert rows(lsh_bucketed_topk(emb, dim=4, num_planes=4, k=3, impl="numpy")) == rows(
+        lsh_bucketed_topk(emb, dim=4, num_planes=4, k=3, impl="sql")
+    )

@@ -277,7 +277,8 @@ MEDLINE_XML = """<MedlineCitationSet>
    </AuthorList>
   </Article>
   <MeshHeadingList>
-   <MeshHeading><DescriptorName>Parsing</DescriptorName><QualifierName>methods</QualifierName></MeshHeading>
+   <MeshHeading><DescriptorName>Parsing</DescriptorName><QualifierName>methods</QualifierName><QualifierName>trends</QualifierName></MeshHeading>
+   <MeshHeading><DescriptorName>Text</DescriptorName></MeshHeading>
   </MeshHeadingList>
  </MedlineCitation>
  <MedlineCitation>
@@ -303,7 +304,11 @@ def test_parse_medline_xml_pure():
     assert r["title"] == "deep parsing of text"
     assert r["abstract"] == "we parse text deeply"
     assert r["authors"] == ["a\tsmith", "b\tjones"]  # ForeName\tLastName key
-    assert r["mesh"] == ["Parsing", "methods"]  # descriptor AND qualifier
+    # reference quirk (Author2PMID.groovy:90-95): qualifier text is the
+    # GPath concatenation of ALL qualifier nodes, added unconditionally —
+    # multi-qualifier headings join ("methodstrends"), qualifier-less
+    # headings contribute ""
+    assert r["mesh"] == ["Parsing", "methodstrends", "Text", ""]
     assert r["affiliation"] == "Univ of X"
     assert parse_medline_xml_text("<broken") == []
 
