@@ -353,6 +353,19 @@ def q_dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs_parallel(spark, sf_dir), num_hashes=8, bands=4)
 
 
+def q_dd_text_neardup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE text near-dup scale path end-to-end: MinHash-LSH candidates ->
+    exact n-gram-Jaccard confirm on candidates only (the text twin of
+    dd_embedding_neardup_scalable). Same banding as dd_minhash_lsh_pairs,
+    same threshold as dd_ngram_jaccard — the output is the candidate-recall
+    subset of the latter."""
+    from pmcanalysis_spark.operators.dedup import neardup_text_scalable
+
+    return neardup_text_scalable(
+        _docs_parallel(spark, sf_dir), threshold=0.5, num_hashes=8, bands=4
+    ).withColumn("jaccard", F.round("jaccard", 6))
+
+
 def q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmcanalysis_spark.operators.dedup import simhash64
 
@@ -749,14 +762,20 @@ def q_ev_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ev_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pmcanalysis_spark.operators.ranking import topk_per_key
+    """W3 global top-5: orderBy().limit() — TakeOrderedAndProject runs
+    per-partition bounded heaps + one 5-row merge on the driver side of the
+    exchange. (The r2 version routed this through a window partitioned on a
+    constant key, which makes ONE task sort every user at scale; the
+    row_number below runs over the 5 surviving rows only.)"""
+    from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.round(_dsum(F.col("value")), 6).alias("total"))
-    ranked = topk_per_key(
-        per_user.withColumn("_g", F.lit(1)), "_g", "total", 5, tiebreak="user_id"
+    top = per_user.orderBy(F.desc("total"), F.asc("user_id")).limit(5)
+    w = Window.orderBy(F.desc("total"), F.asc("user_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "user_id", "total", "rank"
     )
-    return ranked.select("user_id", "total", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -967,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_minhash": q_dd_minhash,
         "dd_minhash_lsh_pairs": q_dd_minhash_lsh_pairs,
+        "dd_text_neardup_scalable": q_dd_text_neardup_scalable,
         "dd_simhash": q_dd_simhash,
         "dd_embedding_neardup": q_dd_embedding_neardup,
         "dd_embedding_neardup_scalable": q_dd_embedding_neardup_scalable,
@@ -1240,7 +1260,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents GROUP BY md5(text)
         """,
         "dd_ngram_jaccard": """
-          WITH sh AS (
+          WITH sh_all AS (
             SELECT DISTINCT doc_id, shingle FROM (
               SELECT doc_id,
                 array_to_string(toks[i : i + 2], ' ') AS shingle
@@ -1252,10 +1272,80 @@ def oracle_sql() -> dict[str, str]:
               WHERE i + 2 <= len(toks)
             )
           ),
+          -- max_shingle_df="auto": boilerplate shingles in > half the docs
+          -- are dropped BEFORE sizes/intersection (the default bound)
+          hot AS (
+            SELECT shingle FROM sh_all GROUP BY shingle
+            HAVING COUNT(*) * 2 > (SELECT COUNT(DISTINCT doc_id) FROM documents)
+          ),
+          sh AS (
+            SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+          ),
           sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
           inter AS (
             SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          )
+          SELECT a_id, b_id,
+                 ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """,
+        "dd_text_neardup_scalable": """
+          WITH sh_all AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+              SELECT doc_id,
+                array_to_string(toks[i : i + 2], ' ') AS shingle
+              FROM (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 2)) AS i
+                FROM documents
+              )
+              WHERE i + 2 <= len(toks)
+            )
+          ),
+          -- candidate step: MinHash-LSH banding over the UNFILTERED shingles
+          -- (identical to the dd_minhash_lsh_pairs oracle)
+          hashed AS (
+            SELECT doc_id,
+              CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+              CAST(concat('0x', substr(md5(shingle), 16, 15)) AS BIGINT) % (1::BIGINT << 57) AS h2
+            FROM sh_all
+          ),
+          sig AS (
+            SELECT doc_id, CAST(seed AS INT) AS hash_idx,
+                   MIN((h1 + seed * h2) % 2305843009213693951) AS mh
+            FROM hashed CROSS JOIN range(8) AS t(seed)
+            GROUP BY doc_id, seed
+          ),
+          banded AS (
+            SELECT doc_id, hash_idx // 2 AS band,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hash_idx) AS bucket
+            FROM sig GROUP BY doc_id, hash_idx // 2
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          ),
+          -- confirm step: exact Jaccard over the hot-bounded shingle space,
+          -- computed ONLY on candidate pairs
+          hot AS (
+            SELECT shingle FROM sh_all GROUP BY shingle
+            HAVING COUNT(*) * 2 > (SELECT COUNT(DISTINCT doc_id) FROM documents)
+          ),
+          sh AS (
+            SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+          ),
+          sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.a_id
+            JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
             GROUP BY 1, 2
           )
           SELECT a_id, b_id,

@@ -13,11 +13,15 @@ bit-for-bit, and all expressed as native Column algebra (zero Python UDFs):
 - simhash64: 64-bit simhash from token hashes, via bit-position explode +
   weighted majority (pure SQL algebra, oracle-checkable).
 
+- neardup_text_scalable: THE text near-dup scale path — MinHash-LSH
+  candidates, then the exact n-gram Jaccard computed ONLY on candidate
+  pairs (mirrors embedding_neardup_scalable's candidates->confirm shape).
+
 Scale notes: shingle/bucket joins shuffle on the shingle/bucket hash — a
 well-distributed key by construction; hot shingles (boilerplate n-grams)
-are the skew risk, bounded by dropping shingles with document frequency
-above ``max_shingle_df`` (standard practice: a shingle in >X% of docs
-carries no dedup signal anyway).
+are the skew risk, bounded BY DEFAULT (``max_shingle_df="auto"`` drops
+shingles in >50% of docs — standard practice: they carry no dedup signal
+and are exactly the quadratic-join fuel).
 """
 
 from __future__ import annotations
@@ -35,14 +39,36 @@ def portable_hash64(col, seed: int = 0):
     ).cast("long")
 
 
-def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    confirm_full_text: bool = False,
+    hash_expr=None,
+) -> DataFrame:
     """Exact duplicate clusters: (text-hash, canonical doc_id, cluster size).
 
-    groupBy on the 128-bit md5 (collision-safe enough at 10^12 docs for
-    *candidate* selection; equality on full text would need one more join —
-    omitted by design and documented)."""
+    Default: groupBy on the 128-bit md5 (collision-safe enough at 10^12 docs
+    for candidate selection). ``confirm_full_text=True`` is the
+    hash-collision-paranoid mode: the group key is (hash, full text), so a
+    collision yields two rows under the same text_hash instead of one merged
+    cluster — the cost is shuffling the text column as part of the key.
+    ``hash_expr`` overrides the hash (tests inject a deliberately colliding
+    one to prove the confirm splits what the default merges)."""
+    h = (hash_expr if hash_expr is not None else F.md5(F.col(text_col))).alias(
+        "text_hash"
+    )
+    if confirm_full_text:
+        return (
+            docs.groupBy(h, F.col(text_col).alias("_text"))
+            .agg(
+                F.min(id_col).alias("canonical_id"),
+                F.count("*").alias("cluster_size"),
+            )
+            .drop("_text")
+        )
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        docs.groupBy(h)
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count("*").alias("cluster_size"),
@@ -65,24 +91,63 @@ def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFra
     )
 
 
+def _drop_hot_shingles(
+    sh: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    max_shingle_df,
+    strip_shingles: DataFrame | None = None,
+):
+    """Drop boilerplate shingles before any shingle self-join.
+
+    ``max_shingle_df``: "auto" (default across the module) drops shingles
+    whose document frequency exceeds half the corpus — a shingle in >50% of
+    docs carries no dedup signal and is exactly what makes the self-join
+    quadratic at scale; an int sets the absolute df bound; None disables.
+    The "auto" bound stays inside the DAG (count aggregate cross-joined, no
+    driver action). ``strip_shingles``: optional explicit strip-list — e.g.
+    ``textstats.top_ngrams`` output renamed to a ``shingle`` column — removed
+    with one left_anti join."""
+    if strip_shingles is not None:
+        sh = sh.join(
+            F.broadcast(strip_shingles.select("shingle")), "shingle", "left_anti"
+        )
+    if max_shingle_df == "auto":
+        total = docs.select(F.countDistinct(F.col(id_col)).alias("_n_docs"))
+        hot = (
+            sh.groupBy("shingle")
+            .count()
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("count") * 2 > F.col("_n_docs"))
+        )
+        return sh.join(hot.select("shingle"), "shingle", "left_anti")
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        return sh.join(hot.select("shingle"), "shingle", "left_anti")
+    return sh
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | str | None = "auto",
+    strip_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|); the intersection comes from the
     shingle self-join match count, set sizes from a per-doc count — no
-    arrays ever materialize per pair.
+    arrays ever materialize per pair. Jaccard is computed over the FILTERED
+    shingle space (sizes counted after the hot-shingle drop), so the bound
+    changes semantics only for boilerplate-dominated pairs — by design.
     """
-    sh = shingles(docs, id_col, text_col, n)
-    if max_shingle_df is not None:
-        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
-        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sh = _drop_hot_shingles(
+        shingles(docs, id_col, text_col, n), docs, id_col, max_shingle_df,
+        strip_shingles,
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
@@ -183,6 +248,69 @@ def minhash_lsh_pairs(
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
+    )
+
+
+def neardup_text_scalable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_shingle_df: int | str | None = "auto",
+) -> DataFrame:
+    """Text near-dup pairs, MinHash-LSH candidates -> exact-Jaccard confirm.
+
+    What a real 100 TB text dedup run executes (the text twin of
+    ``embedding_neardup_scalable``): candidates come from MinHash banding
+    (work ∝ band-bucket collisions, never the quadratic shingle self-join),
+    then the exact n-gram Jaccard is computed ONLY on candidate pairs by
+    joining candidates back to the per-doc shingle sets — the same
+    inclusion-exclusion arithmetic as ``ngram_jaccard_pairs``, but the
+    intersection join is candidate-restricted: work ∝ Σ_cand |A|, not
+    Σ_shingle df².
+
+    Output is a SUBSET of ``ngram_jaccard_pairs(same args)`` — equal values
+    on every emitted pair, missing only pairs LSH never proposed. Candidate
+    recall follows the standard S-curve P[candidate] =
+    1 - (1 - j^(num_hashes/bands))^bands: at 8 hashes / 4 bands (rows=2),
+    j=0.8 gives ~0.98, j=0.5 gives ~0.68 — raise bands (or lower rows per
+    band) to push recall at the cost of more candidates (measured on the
+    sf0.001/sf0.01 documents in tests/test_dedup.py).
+
+    Plan at scale: every shuffle key is well-distributed (band buckets from
+    minhash values, then doc ids); the candidate set is tiny relative to the
+    corpus, so the confirm joins are cheap; the hot-shingle bound (on by
+    default) applies to the confirm's Jaccard space exactly as in
+    ``ngram_jaccard_pairs`` so the two operators agree pairwise.
+    """
+    cand = minhash_lsh_pairs(docs, id_col, text_col, n, num_hashes, bands)
+    sh = _drop_hot_shingles(
+        shingles(docs, id_col, text_col, n), docs, id_col, max_shingle_df
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        cand.join(a_sh, "a_id")  # explode candidates by A's shingles
+        .join(b_sh, ["b_id", "shingle"])  # keep only shingles also in B
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
     )
 
 
@@ -331,20 +459,41 @@ def embedding_neardup_scalable(
 
 
 def simhash64(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    impl: str = "packed",
 ) -> DataFrame:
     """(doc_id, simhash bigint): bit b of the hash is 1 iff the majority of
     the doc's distinct tokens have bit b set in their portable hash.
+    Uses the 60-bit portable hash (bits 0..59) so the DuckDB oracle matches
+    exactly. Both impls produce identical rows (tested).
 
-    Implemented as token explode -> per-(doc, bit) vote -> bit reassembly via
-    sum of 2^b — pure aggregations, two shuffles, no Python. Note: uses the
-    60-bit portable hash (bits 0..59) so the DuckDB oracle matches exactly.
+    impl='packed' (default): ONE groupBy(doc) with 60 set-bit-count partial
+    aggregations + a token count; bit b of the result is 1 iff
+    2*count_set > n_tokens (same majority as the ±1 vote sum). No row
+    amplification at all — the r2 version exploded 60 rows per distinct
+    token, a 60x CPU tax on the biggest input column even though map-side
+    combine bounded the shuffle.
+
+    impl='explode': the original two-shuffle bit-explode algebra, kept as
+    the parity twin for the row-identical test.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     ).filter(F.col("tok") != "")
     hashed = toks.select("doc_id", portable_hash64(F.col("tok")).alias("h"))
+    if impl == "packed":
+        counts = [
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+            for b in range(60)
+        ]
+        agg = hashed.groupBy("doc_id").agg(F.count("*").alias("n"), *counts)
+        total = F.lit(0).cast("long")
+        for b in range(60):
+            total = total + F.when(
+                F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return agg.select("doc_id", total.alias("simhash"))
     bits = hashed.select(
         "doc_id",
         "h",

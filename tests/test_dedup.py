@@ -37,13 +37,78 @@ def test_shingles_distinct_and_sized(spark):
 
 
 def test_ngram_jaccard_finds_near_dup(spark):
-    pairs = ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    # max_shingle_df=None: raw Jaccard semantics (this 4-doc corpus's shared
+    # shingles span 3/4 docs, which the default auto bound rightly drops)
+    pairs = ngram_jaccard_pairs(
+        _docs(spark), threshold=0.5, max_shingle_df=None
+    ).collect()
     got = {(r.a_id, r.b_id) for r in pairs}
     assert (1, 2) in got  # exact dup has jaccard 1.0
     assert (1, 3) in got and (2, 3) in got  # near dup
     assert not any(4 in p for p in got)
     j12 = [r.jaccard for r in pairs if (r.a_id, r.b_id) == (1, 2)][0]
     assert j12 == 1.0
+
+
+def test_auto_hot_shingle_bound_drops_boilerplate(spark):
+    """Default max_shingle_df="auto": a boilerplate shingle present in >50%
+    of docs is excluded BEFORE the self-join, so (a) two docs sharing ONLY
+    boilerplate never pair, (b) the join's exploded size is bounded by real
+    content, (c) genuinely near-dup docs still pair on their content."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.dedup import _drop_hot_shingles
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta epsilon zeta"),
+        (2, f"{boiler} alpha beta gamma delta epsilon eta"),   # near dup of 1
+        (3, f"{boiler} one two three four five six"),
+        (4, f"{boiler} seven eight nine ten eleven twelve"),
+        (5, f"{boiler} red green blue cyan magenta yellow"),
+        (6, f"{boiler} do re mi fa sol la"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _drop_hot_shingles(
+        shingles(docs, "doc_id", "text", 3), docs, "doc_id", "auto"
+    )
+    # every shingle fully inside the boilerplate prefix (df=6 > 3) is gone
+    kept = {r.shingle for r in sh.collect()}
+    assert "subscribe to our" not in kept
+    assert "newsletter for updates" not in kept
+    hot_df = sh.groupBy("shingle").count().agg(F.max("count")).first()[0]
+    assert hot_df <= 3  # bounded join fan-out: no key above n_docs/2
+
+    pairs = {(r.a_id, r.b_id): r.jaccard
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs            # real near-dup survives on content
+    assert (3, 4) not in pairs        # boilerplate-only overlap: no pair
+    assert (3, 5) not in pairs and (5, 6) not in pairs
+
+
+def test_ngram_jaccard_strip_shingles(spark):
+    """top_ngrams output wires in as an explicit strip-list."""
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta epsilon zeta"),
+        (2, f"{boiler} alpha beta gamma delta epsilon eta"),
+        (3, f"{boiler} one two three four five six"),
+        (4, f"{boiler} seven eight nine ten eleven twelve"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.textstats import top_ngrams
+
+    strip = top_ngrams(docs, n=3, k=4).select(F.col("ngram").alias("shingle"))
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.3, max_shingle_df=None, strip_shingles=strip
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (3, 4) not in pairs  # only stripped boilerplate in common
 
 
 def test_minhash_identical_sigs_for_identical_text(spark):
@@ -69,6 +134,63 @@ def test_simhash_equal_for_equal_and_close_for_near(spark):
         return bin((a ^ b) & ((1 << 60) - 1)).count("1")
 
     assert hamming(hs[1], hs[3]) < hamming(hs[1], hs[4])
+
+
+def test_simhash_impls_row_identical(spark):
+    """The packed single-groupBy impl (no 60x bit explode) equals the
+    original explode algebra bit-for-bit — on the toy docs AND the sf0.001
+    documents table."""
+    toy = _docs(spark)
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for docs in (toy, real):
+        packed = sorted(tuple(r) for r in simhash64(docs, impl="packed").collect())
+        exploded = sorted(tuple(r) for r in simhash64(docs, impl="explode").collect())
+        assert packed == exploded and len(packed) > 0
+
+
+def test_exact_dedup_full_text_confirm_splits_collisions(spark):
+    """confirm_full_text=True: a hash collision (injected via a degenerate
+    hash_expr) yields separate clusters per distinct text, where the default
+    hash-only mode silently merges them."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    collide = F.lit("collide")  # every doc "collides"
+    merged = exact_dedup(docs, hash_expr=collide).collect()
+    assert len(merged) == 1 and merged[0].cluster_size == 4
+    split = exact_dedup(docs, hash_expr=collide, confirm_full_text=True).collect()
+    assert sorted(r.cluster_size for r in split) == [1, 1, 2]
+    assert all(r.text_hash == "collide" for r in split)
+    # on a non-degenerate hash the flag changes nothing
+    a = sorted(tuple(r) for r in exact_dedup(docs).collect())
+    b = sorted(tuple(r) for r in exact_dedup(docs, confirm_full_text=True).collect())
+    assert a == b
+
+
+def test_text_neardup_scalable_subset_and_recall(spark):
+    """The LSH-candidates -> exact-Jaccard-confirm composition (the text
+    twin of embedding_neardup_scalable): output is an exact subset of
+    ngram_jaccard_pairs with identical jaccard values; candidate recall on
+    the sf0.001 documents is asserted at a floor (pairs at threshold 0.5
+    sit high on the 8-hash/4-band S-curve)."""
+    from pmcanalysis_spark.operators.dedup import neardup_text_scalable
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    scal = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in neardup_text_scalable(
+            docs, threshold=0.5, num_hashes=8, bands=4
+        ).collect()
+    }
+    assert len(full) > 0
+    for k, v in scal.items():
+        assert k in full and abs(v - full[k]) < 1e-12
+    recall = len(scal) / len(full)
+    assert recall >= 0.6, f"candidate recall {recall:.3f} below floor"
 
 
 def test_embedding_neardup_scalable_recall(spark):
