@@ -353,6 +353,7 @@ def embedding_neardup_scalable(
     dim: int = 64,
     num_planes: int = 8,
     num_tables: int = 4,
+    max_group_size: int | None = 4096,
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-candidates -> exact-cosine confirm.
 
@@ -379,7 +380,11 @@ def embedding_neardup_scalable(
     transfer (measured 81.6s -> ~3s at 100k vectors, 20M candidates): each
     vector crosses Python once per table, never once per candidate pair.
     At 100 TB every shuffle key here is well-distributed (bucket ids from
-    random hyperplanes, then pair ids).
+    random hyperplanes, then pair ids); a residual mega bucket (many
+    near-identical vectors hash together BY DESIGN) is bounded by
+    ``max_group_size``: oversized buckets split into chunk-pair groups of
+    <= 2*max_group_size rows (similarity._chunk_pairs) — each vector pair
+    still meets exactly once, so the confirm output is unchanged.
     """
     import numpy as np
     import pandas as pd
@@ -420,6 +425,19 @@ def embedding_neardup_scalable(
         }
     )
 
+    def _emit(x, y, cos):
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
+        x, y = x[keep], y[keep]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(x, y),
+                "b_id": np.maximum(x, y),
+                "cosine": cos[keep],
+            }
+        )
+
     def confirm_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)
         if n <= 1:
@@ -429,18 +447,31 @@ def embedding_neardup_scalable(
         norms = pdf["norm"].to_numpy(dtype="float64")
         G = (V @ V.T) / np.outer(norms, norms)
         iu = np.triu_indices(n, 1)
-        cos = G[iu]
-        keep = cos >= threshold
-        if not keep.any():
+        return _emit(ids[iu[0]], ids[iu[1]], G[iu])
+
+    def confirm_chunk_pair(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        """One (tbl, bucket, ci, cj) chunk-pair: ci == cj confirms within
+        the chunk (triu), ci < cj confirms the cross block — every pair in
+        the bucket is checked in exactly one chunk-pair group."""
+        n = len(pdf)
+        if n <= 1:
             return empty
-        x, y = ids[iu[0][keep]], ids[iu[1][keep]]
-        return pd.DataFrame(
-            {
-                "a_id": np.minimum(x, y),
-                "b_id": np.maximum(x, y),
-                "cosine": cos[keep],
-            }
-        )
+        ci, cj = int(pdf["ci"].iat[0]), int(pdf["cj"].iat[0])
+        ids = pdf["id"].to_numpy(dtype="int64")
+        V = np.vstack(pdf["vec"].to_numpy())
+        norms = pdf["norm"].to_numpy(dtype="float64")
+        if ci == cj:
+            G = (V @ V.T) / np.outer(norms, norms)
+            iu = np.triu_indices(n, 1)
+            return _emit(ids[iu[0]], ids[iu[1]], G[iu])
+        ma = pdf["_c"].to_numpy() == ci
+        if not ma.any() or ma.all():
+            return empty
+        G = (V[ma] @ V[~ma].T) / np.outer(norms[ma], norms[~ma])
+        xi, yi = np.nonzero(G >= threshold)
+        if not len(xi):
+            return empty
+        return _emit(ids[ma][xi], ids[~ma][yi], G[xi, yi])
 
     v = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
@@ -449,9 +480,17 @@ def embedding_neardup_scalable(
     banded = v.mapInPandas(
         bucketize, "id long, vec array<double>, norm double, buckets array<long>"
     ).select("id", "vec", "norm", F.posexplode("buckets").alias("tbl", "bucket"))
-    confirmed = banded.groupBy("tbl", "bucket").applyInPandas(
-        confirm_group, "a_id long, b_id long, cosine double"
-    )
+    if max_group_size is None:
+        confirmed = banded.groupBy("tbl", "bucket").applyInPandas(
+            confirm_group, "a_id long, b_id long, cosine double"
+        )
+    else:
+        from .similarity import _chunk_pairs
+
+        chunked = _chunk_pairs(banded, ["tbl", "bucket"], max_group_size)
+        confirmed = chunked.groupBy("tbl", "bucket", "ci", "cj").applyInPandas(
+            confirm_chunk_pair, "a_id long, b_id long, cosine double"
+        )
     # a pair colliding in several tables is confirmed in each: dedup. max()
     # collapses the ulp-level spread between per-group BLAS evaluations of
     # the same dot product deterministically.

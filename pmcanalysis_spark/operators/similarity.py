@@ -221,6 +221,136 @@ def _group_topk_fn(k: int):
 
 _TOPK_SCHEMA = "query_id long, item_id long, cosine double, rank int"
 
+_PARTIAL_SCHEMA = "query_id long, item_id long, cosine double"
+
+
+def _chunk_pairs(df: DataFrame, group_cols: list[str], max_group_size: int) -> DataFrame:
+    """Sub-salt oversized groups into bounded chunk-PAIR groups (the
+    applyInPandas mega-group guard: AQE cannot skew-split applyInPandas
+    groups, so a skewed LSH bucket / IVF mega-cell would otherwise land an
+    O(n²) matmul on one task with unbounded memory).
+
+    Each group of size n splits into m = ceil(n / max_group_size) chunks
+    (chunk = id mod m); every row is replicated into the m chunk-pairs that
+    contain its chunk, so every PAIR of rows in the original group meets in
+    exactly ONE (ci<=cj) chunk-pair group of at most 2*max_group_size rows.
+    Total work stays O(n²) (inherent to all-pairs-within-group) but per-task
+    memory and runtime are bounded, and the m² chunk-pairs of a mega group
+    spread across the cluster instead of serializing on one core.
+
+    Sizing pass: one count aggregate per group key (map-side combined) +
+    one join — the upstream (typically a narrow mapInPandas bucketize) is
+    evaluated twice; persist upstream if that pass is expensive.
+    For n <= max_group_size: m = 1, a single (0,0) chunk-pair per group —
+    byte-identical grouping to the uncapped path.
+    Requires an ``id`` column (used for the deterministic chunk hash).
+    """
+    sizes = df.groupBy(*group_cols).agg(F.count("*").alias("_gn"))
+    m = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("_gn") / F.lit(float(max_group_size))).cast("long"),
+    )
+    d = (
+        df.join(sizes, group_cols)
+        .withColumn("_m", m)
+        .withColumn("_c", F.pmod(F.col("id"), F.col("_m")).cast("int"))
+        .withColumn("_o", F.explode(F.sequence(F.lit(0), (F.col("_m") - 1).cast("int"))))
+    )
+    return (
+        d.withColumn("ci", F.least("_c", "_o"))
+        .withColumn("cj", F.greatest("_c", "_o"))
+        .drop("_gn", "_m", "_o")
+    )
+
+
+def _chunk_pair_topk_fn(k: int):
+    """applyInPandas kernel for one (group, ci, cj) chunk-pair: PARTIAL
+    per-query top-k (no rank — a window merges partials across a query's
+    chunk-pairs). ci == cj: pairwise within the chunk (diagonal masked);
+    ci < cj: one cross matmul, both sides act as queries."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype="int64"),
+            "item_id": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def topk_rows(q_ids, i_ids, S):
+        kk = min(k, S.shape[1])
+        out_q, out_i, out_c = [], [], []
+        for qi in range(S.shape[0]):
+            row = S[qi]
+            order = np.lexsort((i_ids, -row))[:kk]
+            keep = row[order] > -np.inf
+            out_q.extend([q_ids[qi]] * int(keep.sum()))
+            out_i.extend(i_ids[order][keep])
+            out_c.extend(row[order][keep])
+        return out_q, out_i, out_c
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n <= 1:
+            return empty
+        ci, cj = int(pdf["ci"].iat[0]), int(pdf["cj"].iat[0])
+        ids = pdf["id"].to_numpy(dtype="int64")
+        V = np.vstack(pdf["vec"].to_numpy())
+        norms = pdf["norm"].to_numpy(dtype="float64")
+        if ci == cj:
+            G = (V @ V.T) / np.outer(norms, norms)
+            np.fill_diagonal(G, -np.inf)
+            q, i, c = topk_rows(ids, ids, G)
+        else:
+            ma = pdf["_c"].to_numpy() == ci
+            if not ma.any() or ma.all():
+                return empty
+            G = (V[ma] @ V[~ma].T) / np.outer(norms[ma], norms[~ma])
+            qa, ia, ca = topk_rows(ids[ma], ids[~ma], G)
+            qb, ib, cb = topk_rows(ids[~ma], ids[ma], G.T)
+            q, i, c = qa + qb, ia + ib, ca + cb
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(q, dtype="int64"),
+                "item_id": pd.Series(i, dtype="int64"),
+                "cosine": pd.Series(c, dtype="float64"),
+            }
+        )
+
+    return fn
+
+
+def _grouped_topk(
+    assigned: DataFrame,
+    group_cols: list[str],
+    k: int,
+    max_group_size: int | None,
+) -> DataFrame:
+    """Per-group exact top-k over (id, vec, norm, *group_cols), mega-group
+    safe: with ``max_group_size`` set, oversized groups run as bounded
+    chunk-pair matmuls and a window merges the per-chunk-pair partial top-ks
+    (top-k of a union of partial top-ks IS the global top-k; tie order
+    preserved by the shared (-cosine, item_id) key). With None, one
+    applyInPandas per whole group (the r2 uncapped behavior)."""
+    if max_group_size is None:
+        return assigned.groupBy(*group_cols).applyInPandas(
+            _group_topk_fn(k), _TOPK_SCHEMA
+        )
+    chunked = _chunk_pairs(
+        assigned.select("id", "vec", "norm", *group_cols), group_cols, max_group_size
+    )
+    partials = chunked.groupBy(*group_cols, "ci", "cj").applyInPandas(
+        _chunk_pair_topk_fn(k), _PARTIAL_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )
+
 
 def plane_component_py(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
@@ -349,21 +479,24 @@ def ivf_topk(
     k: int = 10,
     dim: int | None = None,
     impl: str = "numpy",
+    max_group_size: int | None = 4096,
 ) -> DataFrame:
     """IVF ANN (the scale path alongside LSH): candidates share a coarse
     cell; exact cosine + top-k within the cell. Work ∝ Σ cell_size², not
     n².
 
     impl='numpy' (default): one shuffle on cell, then ONE BLAS matmul per
-    cell via applyInPandas — each vector crosses Arrow once per cell. The
-    fast path; caveat: applyInPandas groups can't be AQE-skew-split, so a
-    mega-cell lands on one task (re-cluster or probe-split if that bites).
+    cell via applyInPandas — each vector crosses Arrow once per cell.
+    applyInPandas groups can't be AQE-skew-split, so a mega-cell is guarded
+    by ``max_group_size`` (default 4096): oversized cells run as bounded
+    chunk-pair matmuls + a partial-top-k merge (see _chunk_pairs); cells
+    under the cap take exactly the r2 single-matmul path.
     impl='sql': cell self-join + JVM-side dot + row_number window — every
     shuffle AQE-manageable, slower locally (interpreted HOF per pair).
     Both produce identical rows after ROUND(cosine, 6); tested equal."""
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col, dim, impl=impl)
     if impl == "numpy":
-        return assigned.groupBy("cell").applyInPandas(_group_topk_fn(k), _TOPK_SCHEMA)
+        return _grouped_topk(assigned, ["cell"], k, max_group_size)
     a = assigned.select(
         F.col("id").alias("query_id"), F.col("vec").alias("query_vec"),
         F.col("norm").alias("query_norm"), "cell",
@@ -398,14 +531,16 @@ def lsh_bucketed_topk(
     num_planes: int = 8,
     k: int = 10,
     impl: str = "sql",
+    max_group_size: int | None = 4096,
 ) -> DataFrame:
     """ANN: candidates share a hyperplane-sign bucket; exact cosine + top-k
     within candidates. Recall < 1 by design; union multiple plane sets for
     higher recall (standard multi-probe trade-off).
 
     impl='numpy': bucket bits + norms from ONE V @ P.T mapInPandas pass,
-    then one BLAS matmul per bucket (see ivf_topk); impl='sql' (default,
-    oracle-parity): Column-algebra bucket + self-join + JVM dot + window."""
+    then one BLAS matmul per bucket, mega-buckets chunk-pair-bounded by
+    ``max_group_size`` (see ivf_topk); impl='sql' (default, oracle-parity):
+    Column-algebra bucket + self-join + JVM dot + window."""
     if impl == "numpy":
         import numpy as np
         import pandas as pd
@@ -439,9 +574,7 @@ def lsh_bucketed_topk(
         ).mapInPandas(
             bucketize, "id long, vec array<double>, norm double, bucket long"
         )
-        return bucketed.groupBy("bucket").applyInPandas(
-            _group_topk_fn(k), _TOPK_SCHEMA
-        )
+        return _grouped_topk(bucketed, ["bucket"], k, max_group_size)
     with_bucket = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),

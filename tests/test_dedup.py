@@ -234,3 +234,46 @@ def test_embedding_neardup_scalable_recall(spark):
         assert k in brute and abs(v - brute[k]) < 1e-12
     recall = len(scal) / len(brute)
     assert recall >= 0.85, f"candidate recall {recall:.3f} below floor"
+
+
+def test_embedding_neardup_mega_bucket_chunked_identical(spark):
+    """Planted mega-bucket: near-identical vectors land in the SAME LSH
+    bucket by design; with a small max_group_size the confirm runs as
+    bounded chunk-pair blocks and must emit the same pairs (cosines equal
+    after ROUND 6) as the uncapped whole-bucket matmul."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.dedup import embedding_neardup_scalable
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    # 200 copies of one vector with per-copy jitter on coord 1: one mega
+    # cluster that every LSH table buckets together
+    base = emb.filter(F.col("vec_id") == 0)
+    clones = (
+        spark.range(200)
+        .crossJoin(base.select("vec"))
+        .select(
+            (F.col("id") + 500000).alias("vec_id"),
+            F.concat(
+                F.array(F.col("vec")[0]),
+                F.array(F.col("vec")[1] + F.col("id") * 0.0001),
+                F.slice(F.col("vec"), 3, 62),
+            ).alias("vec"),
+        )
+    )
+    corpus = emb.unionByName(clones)
+
+    def rows(mgs):
+        out = embedding_neardup_scalable(
+            corpus, id_col="vec_id", vec_col="vec",
+            threshold=0.99, dim=64, num_planes=8, num_tables=4,
+            max_group_size=mgs,
+        ).select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+        return sorted(tuple(r) for r in out.collect())
+
+    capped = rows(32)
+    assert capped == rows(None)
+    assert len(capped) >= 200 * 199 // 2  # the planted clique is confirmed

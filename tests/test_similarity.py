@@ -133,6 +133,79 @@ def test_cosine_numpy_impl_matches_sql_impl(spark):
     assert rows("numpy") == rows("sql")
 
 
+def test_chunk_pairs_bounded_and_exact(spark):
+    """_chunk_pairs (the applyInPandas mega-group guard): every chunk-pair
+    group is bounded by 2*max_group_size rows AND every unordered pair of
+    the original group meets in exactly one chunk-pair group."""
+    from itertools import combinations
+
+    from pmcanalysis_spark.operators.similarity import _chunk_pairs
+
+    n, cap = 100, 10
+    df = spark.createDataFrame([(i, 0) for i in range(n)], "id long, grp int")
+    rows = _chunk_pairs(df, ["grp"], cap).collect()
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault((r.grp, r.ci, r.cj), []).append((r.id, r._c))
+    assert max(len(v) for v in by_group.values()) <= 2 * cap
+    seen: dict = {}
+    for key, members in by_group.items():
+        _, ci, cj = key
+        a = [i for i, c in members if c == ci]
+        b = [i for i, c in members if c == cj]
+        pairs = (
+            combinations(sorted(a), 2)
+            if ci == cj
+            else ((min(x, y), max(x, y)) for x in a for y in b)
+        )
+        for p in pairs:
+            seen[p] = seen.get(p, 0) + 1
+    assert len(seen) == n * (n - 1) // 2
+    assert set(seen.values()) == {1}  # each pair exactly once
+
+
+def test_ivf_topk_mega_cell_chunked_identical(spark):
+    """Planted mega-cell: ONE centroid puts all 1500 sf0.001 vectors in one
+    cell; with max_group_size=64 the confirm runs as ~24x24 bounded
+    chunk-pair tasks and must produce rows identical (after ROUND 6) to the
+    uncapped single-matmul path."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [(0, [1.0] * 64)]
+
+    def rows(mgs):
+        out = ivf_topk(emb, cents, k=3, impl="numpy", max_group_size=mgs).select(
+            "query_id", "item_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    capped = rows(64)
+    assert capped == rows(None) and len(capped) == 3 * emb.count()
+
+
+def test_lsh_topk_chunked_matches_sql(spark):
+    """The chunked numpy path still equals the SQL impl row-for-row."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def rows(impl, mgs=4096):
+        out = lsh_bucketed_topk(
+            emb, dim=64, num_planes=4, k=3, impl=impl, max_group_size=mgs
+        ).select(
+            "query_id", "item_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    # 4 planes over 1500 vectors -> buckets of ~90; cap 32 forces chunking
+    assert rows("numpy", mgs=32) == rows("sql")
+
+
 def test_zero_vector_impls_agree(spark):
     """Regression (ADVICE r2): a degenerate all-zero vector must score
     cosine 0 (zero-norm guard) in BOTH impls of every kernel — unguarded,
