@@ -282,6 +282,34 @@ def q_kg_min_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_kg_pair_counts(spark, sf_dir).filter(F.col("nab") >= 10)
 
 
+def q_kg_cutoff_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole evaluation pipeline in ONE DAG (README.md:
+    26-135: filter_rankList.pl -> 100x FilterDOPheno -> GetAUC): rank-cutoff
+    sweep over the co-occurrence pairs, gold-label join, per-cutoff
+    precision/recall, trapezoid AUC. Gold is a deterministic pseudo-random
+    third of the pairs (portable md5 hash % 3), reproducible verbatim in
+    SQL."""
+    from pmcanalysis_spark.operators.evaluate import (
+        precision_recall_by_cutoff,
+        pr_auc_df,
+    )
+
+    pairs = q_kg_pair_counts(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("a_id"), F.lit("|"), F.col("b_id"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    gold = pairs.filter(h % 3 == 0).select("a_id", "b_id")
+    pr = precision_recall_by_cutoff(
+        pairs, gold, key="a_id", item="b_id", order_col="nab",
+        max_cutoff=5, tiebreak="b_id",
+    )
+    return pr_auc_df(pr)
+
+
 def q_kg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9/W6: lag-window trapezoid over a deterministic curve."""
     from pmcanalysis_spark.operators.ranking import trapezoid_auc
@@ -890,6 +918,56 @@ def q_kg_obo_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hierarchy_from_obo(spark, _obo_text())
 
 
+def _owl_text() -> str:
+    """Literal OWL RDF/XML carrying the SAME subclass edges as _obo_text()
+    (single source of truth: OBO_IS_A generates the XML and the oracle
+    VALUES), plus a deprecated class and an anonymous-Restriction
+    superclass that the parser must skip."""
+    parents: dict[str, list[str]] = {}
+    for c, p in OBO_IS_A:
+        parents.setdefault(c, []).append(p)
+    terms = sorted({t for e in OBO_IS_A for t in e})
+
+    def iri(t: str) -> str:
+        return "http://purl.obolibrary.org/obo/" + t.replace(":", "_")
+
+    out = [
+        '<?xml version="1.0"?>',
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"',
+        '         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"',
+        '         xmlns:owl="http://www.w3.org/2002/07/owl#">',
+    ]
+    for t in terms:
+        out.append(f'  <owl:Class rdf:about="{iri(t)}">')
+        for p in parents.get(t, ()):
+            out.append(f'    <rdfs:subClassOf rdf:resource="{iri(p)}"/>')
+        out.append("  </owl:Class>")
+    out += [
+        # deprecated class: contributes NO edges (parser skip path)
+        f'  <owl:Class rdf:about="{iri("OP:0000099")}">',
+        f'    <rdfs:subClassOf rdf:resource="{iri("OP:0000000")}"/>',
+        '    <owl:deprecated rdf:datatype="http://www.w3.org/2001/XMLSchema#boolean">true</owl:deprecated>',
+        "  </owl:Class>",
+        # anonymous Restriction superclass: no rdf:resource, skipped
+        f'  <owl:Class rdf:about="{iri("DS:0000001")}">',
+        "    <rdfs:subClassOf><owl:Restriction/></rdfs:subClassOf>",
+        "  </owl:Class>",
+        "</rdf:RDF>",
+    ]
+    return "\n".join(out)
+
+
+def q_kg_owl_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 OWL-format source: RDF/XML rdfs:subClassOf -> strict transitive
+    closure — what the reference gets from ELK over the README workflow's
+    .owl downloads (FindDiseasePhenotypes2.groovy:112-139). Same edge set
+    as kg_obo_closure, loaded through the OWL parser instead."""
+    from pmcanalysis_spark.sources.obo import hierarchy_from_owl
+
+    _ensure_confs(spark)
+    return hierarchy_from_owl(spark, _owl_text())
+
+
 def q_kg_serving_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Servlet-style ranked point lookup (DermoServlet.groovy:440-447): the
     OWL query 'OP:0000000' expands to itself + all subclasses; docs rank by
@@ -955,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_scored": q_kg_triples_scored,
         "kg_closure_docfreq": q_kg_closure_docfreq,
         "kg_obo_closure": q_kg_obo_closure,
+        "kg_owl_closure": q_kg_owl_closure,
         "kg_serving_ranked": q_kg_serving_ranked,
         "kg_obo_docfreq": q_kg_obo_docfreq,
         "kg_hierarchy_rollup": q_kg_hierarchy_rollup,
@@ -964,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_npmi_band": q_kg_npmi_band,
         "kg_min_cooc": q_kg_min_cooc,
         "kg_auc": q_kg_auc,
+        "kg_cutoff_auc": q_kg_cutoff_auc,
         "kg_connected_components": q_kg_connected_components,
         "kg_doc_tags": q_kg_doc_tags,
         "kg_mention_totals": q_kg_mention_totals,
@@ -1058,6 +1138,21 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT term_id, ancestor_id FROM anc
           WHERE term_id <> ancestor_id
         """,
+        # same recursive-CTE oracle as kg_obo_closure: the OWL file carries
+        # the identical OBO_IS_A edge set (single source of truth), so the
+        # closure must match regardless of the load format
+        "kg_owl_closure": f"""
+          WITH RECURSIVE
+          edges(child, parent) AS (VALUES {_obo_edge_values()}),
+          anc(term_id, ancestor_id) AS (
+            SELECT child, parent FROM edges
+            UNION
+            SELECT a.term_id, e.parent
+            FROM anc a JOIN edges e ON e.child = a.ancestor_id
+          )
+          SELECT DISTINCT term_id, ancestor_id FROM anc
+          WHERE term_id <> ancestor_id
+        """,
         "kg_obo_docfreq": f"""
           WITH RECURSIVE
           olex(name, term_id) AS (VALUES {_obo_lex_values()}),
@@ -1127,6 +1222,47 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") WHERE npmi BETWEEN 0.001 AND 1.0",
         "kg_min_cooc": _MENTIONS_SQL + pair_counts_sql + " HAVING COUNT(*) >= 10",
+        "kg_cutoff_auc": _MENTIONS_SQL
+        + f""", pc AS ({pair_counts_sql}),
+          gold AS (
+            SELECT a_id, b_id FROM pc
+            WHERE CAST(concat('0x', substr(md5(concat(a_id, '|', b_id)), 1, 15)) AS BIGINT) % 3 = 0
+          ),
+          ranked AS (
+            SELECT a_id, b_id,
+                   ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY nab DESC, b_id ASC) AS rank
+            FROM pc
+          ),
+          swept AS (
+            SELECT r.a_id, r.b_id, CAST(c AS INT) AS cutoff
+            FROM ranked r CROSS JOIN range(1, 6) AS t(c)
+            WHERE r.rank <= c
+          ),
+          pr AS (
+            SELECT cutoff,
+                   SUM(CASE WHEN g.a_id IS NOT NULL THEN 1 ELSE 0 END) AS tp,
+                   COUNT(*) AS n_pred
+            FROM swept s LEFT JOIN gold g ON g.a_id = s.a_id AND g.b_id = s.b_id
+            GROUP BY cutoff
+          ),
+          curve AS (
+            SELECT cutoff,
+                   CAST(tp AS DOUBLE) / n_pred AS prec,
+                   CAST(tp AS DOUBLE) / (SELECT COUNT(*) FROM gold) AS recall
+            FROM pr
+          ),
+          lagged AS (
+            SELECT recall, prec, cutoff,
+                   LAG(recall) OVER (ORDER BY recall, cutoff) AS pr_,
+                   LAG(prec) OVER (ORDER BY recall, cutoff) AS pp_
+            FROM curve
+          )
+          SELECT ROUND(CAST(SUM(CAST(ROUND(
+                   CASE WHEN pr_ IS NOT NULL
+                        THEN (recall - pr_) * (prec + pp_) / 2.0
+                        ELSE 0.0 END, 6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS auc
+          FROM lagged
+        """,
         "kg_auc": """
           WITH curve AS (
             SELECT CAST(l_linenumber AS DOUBLE) AS x, ROUND(AVG(l_quantity), 6) AS y

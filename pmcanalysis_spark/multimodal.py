@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real decode/feature-extraction needs image/audio libs absent from this
-container, so the decode kernels are STUBS behind ``_decode_*`` (clearly
-marked; raise NotImplementedError unless the deterministic fake is enabled).
-Everything Spark-side is real and tested: schemas, partitioning, the
-mapInPandas batch shape, and the metadata fast-path that never touches the
-payload bytes.
+Pixel decode is REAL for every codec-free format: 24-bit BMP, binary
+PGM/PPM, and 8-bit non-interlaced PNG (stdlib zlib inflate + scanline
+unfilter — color types gray/RGB/palette/gray+alpha/RGBA). JPEG pixel decode
+and video frame sampling genuinely need codec libraries absent from this
+container, so those two kernels are STUBS (clearly marked; raise
+NotImplementedError unless the deterministic fake is enabled); their
+width/height still parse for real from the headers. Everything Spark-side
+is real and tested: schemas, partitioning, the mapInPandas batch shape, and
+the metadata fast-path that never touches the payload bytes.
 
 Design for 100 TB of media: the payload column lives in its own parquet/
 Iceberg files (column pruning means metadata queries read ZERO payload
@@ -86,12 +89,118 @@ def _pnm_header(payload: bytes):
     return channels, vals[0], vals[1], vals[2], i + 1  # one ws after maxval
 
 
-def decode_pixels(payload: bytes):
-    """REAL pixel decode (pure stdlib + numpy) for the formats that need no
-    codec: 24-bit uncompressed BMP and binary PGM/PPM. Returns a
-    (height, width, channels) uint8 array, or None for formats requiring
-    a codec library (PNG/JPEG/GIF — header-only there)."""
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
+    """PNG scanline unfilter (spec §6): each row is 1 filter-type byte +
+    ``stride`` filtered bytes; filters 0-4 (None/Sub/Up/Average/Paeth)
+    reconstruct against the left/up/up-left neighbors. Sequential by
+    construction (Sub/Paeth depend on the just-reconstructed left byte), so
+    this is a per-byte Python loop — fine for the thumbnail/feature sizes
+    this module decodes; real bulk decode belongs to a codec library."""
+    out = bytearray(h * stride)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        rs = y * stride
+        ps = rs - stride
+        for x in range(stride):
+            v = raw[pos + x]
+            a = out[rs + x - bpp] if x >= bpp else 0
+            b = out[ps + x] if y > 0 else 0
+            if ft == 1:
+                v = (v + a) & 0xFF
+            elif ft == 2:
+                v = (v + b) & 0xFF
+            elif ft == 3:
+                v = (v + ((a + b) >> 1)) & 0xFF
+            elif ft == 4:
+                c = out[ps + x - bpp] if (y > 0 and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                v = (v + (a if pa <= pb and pa <= pc else b if pb <= pc else c)) & 0xFF
+            out[rs + x] = v
+        pos += stride
+    return bytes(out)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> raw channels
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL PNG pixel decode with nothing but stdlib zlib + the scanline
+    unfilter above (no codec library): 8-bit depth, color types 0/2/3/4/6,
+    non-interlaced. Palette images map through PLTE to RGB; alpha channels
+    are dropped (gray+alpha -> gray, RGBA -> RGB) so every caller sees 1- or
+    3-channel uint8 like the BMP/PNM decoders. Returns None for PNGs this
+    subset doesn't cover (16-bit, interlaced) or malformed payloads."""
+    import zlib
+
     import numpy as np
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, n = 8, len(payload)
+    ihdr = plte = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    ch = _PNG_CHANNELS.get(color)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ch is None:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    flat = np.frombuffer(
+        _png_unfilter(raw, h, stride, ch), dtype=np.uint8
+    ).reshape(h, w, ch)
+    if color == 3:  # palette -> RGB
+        if plte is None or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if flat.max() >= len(pal):
+            return None
+        return pal[flat[:, :, 0]].copy()
+    if color == 4:  # gray+alpha -> gray
+        return flat[:, :, :1].copy()
+    if color == 6:  # RGBA -> RGB
+        return flat[:, :, :3].copy()
+    return flat.copy()
+
+
+def decode_pixels(payload: bytes):
+    """REAL pixel decode (pure stdlib + numpy) for every format that needs
+    no codec library: 24-bit uncompressed BMP, binary PGM/PPM, and 8-bit
+    non-interlaced PNG (zlib inflate + scanline unfilter). Returns a
+    (height, width, channels) uint8 array, or None for formats genuinely
+    requiring a codec (JPEG/GIF — header-only there)."""
+    import numpy as np
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(payload)
 
     if len(payload) >= 54 and payload[:2] == b"BM":
         off = int.from_bytes(payload[10:14], "little")
@@ -194,11 +303,13 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     """Decode tiering, most-real first:
 
-    1. BMP / PGM / PPM: REAL pixels (decode_pixels) -> real width/height and
-       real statistical features (global + per-channel means, std, aspect).
-    2. PNG / GIF / JPEG: REAL width/height (header parse); pixel features
-       need a codec library absent from this container, so the feature slot
-       is a deterministic byte-derived fake (clearly not semantic).
+    1. BMP / PGM / PPM / PNG (8-bit non-interlaced): REAL pixels
+       (decode_pixels) -> real width/height and real statistical features
+       (global + per-channel means, std, aspect).
+    2. GIF / JPEG / exotic PNGs: REAL width/height (header parse); pixel
+       features need a codec library absent from this container, so the
+       feature slot is a deterministic byte-derived fake (clearly not
+       semantic).
     3. Unrecognized payloads: full fake iff USE_FAKE_DECODE, else raises.
     """
     px = decode_pixels(payload)

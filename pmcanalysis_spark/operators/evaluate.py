@@ -25,13 +25,14 @@ def precision_recall_by_cutoff(
     item: str = "obj",
     order_col: str = "npmi",
     max_cutoff: int = 100,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """(cutoff, tp, n_pred, n_gold, precision, recall) for every cutoff in
     one pass — the 100-process sweep as a single DAG.
 
     ``gold``: (key, item) positive pairs (MGI-DOID.gold.txt shape).
     """
-    swept = rank_cutoff_sweep(scored, key, order_col, max_cutoff).select(
+    swept = rank_cutoff_sweep(scored, key, order_col, max_cutoff, tiebreak).select(
         "cutoff", F.col(key).alias("k"), F.col(item).alias("i")
     )
     g = gold.select(F.col(key).alias("k"), F.col(item).alias("i"), F.lit(1).alias("pos"))
@@ -46,6 +47,33 @@ def precision_recall_by_cutoff(
         .withColumn("n_gold", F.lit(n_gold))
         .withColumn("precision", F.col("tp") / F.col("n_pred"))
         .withColumn("recall", F.col("tp") / F.col("n_gold"))
+    )
+
+
+def pr_auc_df(pr: DataFrame) -> DataFrame:
+    """Trapezoid area under the (recall, precision) curve as a 1-row
+    DataFrame — the oracle-comparable twin of ``pr_auc``. Ordering is the
+    deterministic (recall asc, cutoff asc): equal recalls at different
+    cutoffs would otherwise make the lag — and hence the AUC — order-
+    ambiguous. Each trapezoid term is ROUND(x, 6) then summed through
+    DECIMAL(28,6) so the sum is bit-stable across engines."""
+    w = Window.orderBy(F.asc("recall"), F.asc("cutoff"))
+    lagged = (
+        pr.select("cutoff", "precision", "recall")
+        .withColumn("pr_", F.lag("recall").over(w))
+        .withColumn("pp_", F.lag("precision").over(w))
+    )
+    area = F.round(
+        F.when(
+            F.col("pr_").isNotNull(),
+            (F.col("recall") - F.col("pr_"))
+            * (F.col("precision") + F.col("pp_"))
+            / F.lit(2.0),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return lagged.agg(
+        F.round(F.sum(area.cast("decimal(28,6)")).cast("double"), 6).alias("auc")
     )
 
 

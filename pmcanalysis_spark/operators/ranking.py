@@ -91,7 +91,11 @@ def trapezoid_auc(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
 
 
 def rank_cutoff_sweep(
-    df: DataFrame, key: str, order_col: str, max_cutoff: int = 100
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    max_cutoff: int = 100,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """The reference's 100-process cutoff sweep in one pass: emit
     (cutoff, key, ...) rows for every cutoff in 1..max_cutoff by retaining
@@ -99,9 +103,13 @@ def rank_cutoff_sweep(
 
     Output keeps one row per (row, cutoff>=rank) — downstream evaluation
     groups by cutoff. This is the single-DAG replacement for
-    filter_rankList.pl + 100x FilterDOPheno (README.md:37-50).
+    filter_rankList.pl + 100x FilterDOPheno (README.md:37-50). Pass
+    ``tiebreak`` for a deterministic total order (oracle comparisons).
     """
-    w = Window.partitionBy(key).orderBy(F.desc(order_col))
+    order = [F.desc(order_col)]
+    if tiebreak:
+        order.append(F.asc(tiebreak))
+    w = Window.partitionBy(key).orderBy(*order)
     ranked = df.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= max_cutoff
     )

@@ -222,9 +222,93 @@ def hierarchy_from_obo(spark, text: str | None = None, path: str | None = None):
 
 def curie_from_iri(iri: str) -> str:
     """IRI -> CURIE rewrite (F9): <http://purl.obolibrary.org/obo/X_Y> -> X:Y
-    (FindDiseasePhenotypes2.groovy:130,136)."""
+    (FindDiseasePhenotypes2.groovy:130,136). Accepts both the angle-bracket
+    N-Triples form and the bare RDF/XML attribute form."""
     return (
         iri.replace("<http://purl.obolibrary.org/obo/", "")
+        .replace("http://purl.obolibrary.org/obo/", "")
         .replace(">", "")
         .replace("_", ":")
     )
+
+
+# --- OWL (RDF/XML) source: the format the reference actually loads --------
+#
+# The reference feeds DOID/HP ``.owl`` files through the ELK reasoner and
+# flattens ``reasoner.getSubClasses(...)`` (FindDiseasePhenotypes2.groovy:
+# 112-139). For asserted ``rdfs:subClassOf`` hierarchies (what the README
+# workflow's ontologies are, modulo the reasoner's trivial inferences) the
+# same flattened closure is the transitive closure of the asserted edges —
+# parsed here with stdlib ElementTree, no OWL API needed. Anonymous
+# superclasses (owl:Restriction blank nodes) carry no rdf:resource and are
+# skipped — ELK's getSubClasses flattening likewise only returns NAMED
+# classes. Deprecated classes (owl:deprecated true) contribute no edges,
+# mirroring parse_obo_is_a's is_obsolete handling.
+
+_RDF = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+_RDFS = "{http://www.w3.org/2000/01/rdf-schema#}"
+_OWL = "{http://www.w3.org/2002/07/owl#}"
+_OBOINOWL = "{http://www.geneontology.org/formats/oboInOwl#}"
+
+
+def _owl_classes(text: str):
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    for cls in root.iter(f"{_OWL}Class"):
+        about = cls.get(f"{_RDF}about")
+        if not about:
+            continue  # blank-node class (e.g. inside a Restriction)
+        dep = cls.find(f"{_OWL}deprecated")
+        if dep is not None and (dep.text or "").strip() == "true":
+            continue
+        yield curie_from_iri(about), cls
+
+
+def parse_owl_subclass_of(text: str) -> list[tuple[str, str]]:
+    """OWL RDF/XML -> direct subclass edges [(child_curie, parent_curie)].
+
+    Feed the result to ``transitive_closure`` for the flattened hierarchy
+    (the S6 twin of ``parse_obo_is_a`` for users holding the actual ``.owl``
+    downloads of the README workflow). Duplicate edges dedup, first-seen
+    order (deterministic, same contract as parse_obo_is_a)."""
+    edges: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
+    for child, cls in _owl_classes(text):
+        for sup in cls.findall(f"{_RDFS}subClassOf"):
+            res = sup.get(f"{_RDF}resource")
+            if not res:  # anonymous superclass (Restriction) — named only
+                continue
+            e = (child, curie_from_iri(res))
+            if e not in seen:
+                seen.add(e)
+                edges.append(e)
+    return edges
+
+
+def parse_owl_labels(text: str) -> list[tuple[str, str, str]]:
+    """OWL RDF/XML -> [(name, term_id, kind)] with kind name|synonym —
+    rdfs:label and oboInOwl:hasExactSynonym, lowercased (the same lexicon
+    shape parse_obo_text emits, so the NER path is format-agnostic)."""
+    rows: list[tuple[str, str, str]] = []
+    for curie, cls in _owl_classes(text):
+        for lab in cls.findall(f"{_RDFS}label"):
+            if lab.text:
+                rows.append((lab.text.strip().lower(), curie, "name"))
+        for syn in cls.findall(f"{_OBOINOWL}hasExactSynonym"):
+            if syn.text:
+                rows.append((syn.text.strip().lower(), curie, "synonym"))
+    return rows
+
+
+def hierarchy_from_owl(spark, text: str | None = None, path: str | None = None):
+    """OWL source -> hierarchy(term_id, ancestor_id) DataFrame — the
+    ``.owl``-format twin of ``hierarchy_from_obo`` (ref
+    FindDiseasePhenotypes2.groovy:112-139)."""
+    if text is None:
+        with open(path, encoding="utf-8") as f:  # type: ignore[arg-type]
+            text = f.read()
+    closure = transitive_closure(parse_owl_subclass_of(text))
+    if not closure:
+        return spark.createDataFrame([], "term_id string, ancestor_id string")
+    return spark.createDataFrame(closure, "term_id string, ancestor_id string")

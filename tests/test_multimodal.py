@@ -182,3 +182,116 @@ def test_decode_and_resize_spark_path(spark):
     assert (r["out_w"], r["out_h"], r["channels"]) == (4, 4, 3)
     assert len(bytes(r["pixels"])) == 4 * 4 * 3
     assert bytes(r["pixels"])[:3] == bytes([1, 2, 3])
+
+
+def _make_png(pixels, color_type, filters, palette=None):
+    """Forward-filtered PNG builder (the test-side inverse of the decoder's
+    unfilter): pixels is an (h, w, c_raw) uint8 array in the color type's
+    RAW channel layout (0: gray, 2: RGB, 3: palette index, 4: gray+alpha,
+    6: RGBA); ``filters`` cycles per scanline over 0..4."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    raw = bytearray()
+    prev = bytes(w * c)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        row = bytes(px[y].reshape(-1))
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        else:
+            out = bytearray()
+            for x in range(len(row)):
+                a = row[x - c] if x >= c else 0
+                b = prev[x]
+                cc = prev[x - c] if x >= c else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:  # paeth
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                out.append((row[x] - pred) & 0xFF)
+            raw += out
+        prev = row
+
+    def chunk(t, d):
+        return (
+            len(d).to_bytes(4, "big") + t + d
+            + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color_type, 0, 0, 0])
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += chunk(b"PLTE", bytes(palette))
+    return png + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_decode_all_filters_roundtrip():
+    """REAL PNG pixel decode (zlib + scanline unfilter): a 7x5 RGB image
+    forward-filtered with every filter type (0..4 cycling) decodes back to
+    the exact pixel array."""
+    import numpy as np
+
+    from pmcanalysis_spark.multimodal import decode_pixels
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_pixels(_make_png(px, 2, filters))
+        assert got is not None and np.array_equal(got, px), filters
+
+
+def test_png_decode_color_types():
+    import numpy as np
+
+    from pmcanalysis_spark.multimodal import decode_pixels
+
+    rng = np.random.RandomState(11)
+    # grayscale (ct 0) -> (h, w, 1)
+    g = rng.randint(0, 256, size=(4, 3, 1), dtype=np.uint8)
+    assert np.array_equal(decode_pixels(_make_png(g, 0, [0, 2])), g)
+    # gray+alpha (ct 4): alpha dropped
+    ga = rng.randint(0, 256, size=(4, 3, 2), dtype=np.uint8)
+    assert np.array_equal(decode_pixels(_make_png(ga, 4, [1, 4])), ga[:, :, :1])
+    # RGBA (ct 6): alpha dropped
+    rgba = rng.randint(0, 256, size=(4, 3, 4), dtype=np.uint8)
+    assert np.array_equal(decode_pixels(_make_png(rgba, 6, [3])), rgba[:, :, :3])
+    # palette (ct 3): indices map through PLTE to RGB
+    pal = [10, 20, 30, 40, 50, 60, 70, 80, 90]  # 3 entries
+    idx = np.array([[[0], [1]], [[2], [0]]], dtype=np.uint8)
+    got = decode_pixels(_make_png(idx, 3, [0], palette=pal))
+    assert tuple(got[0, 1]) == (40, 50, 60) and tuple(got[1, 0]) == (70, 80, 90)
+    # out-of-range palette index -> None, not a crash
+    bad = np.array([[[7]]], dtype=np.uint8)
+    assert decode_pixels(_make_png(bad, 3, [0], palette=pal)) is None
+
+
+def test_png_real_features_through_spark(spark):
+    """A real PNG through extract_media_features yields REAL statistics
+    (the r2 feature slot for PNG was a byte-derived fake)."""
+    import numpy as np
+
+    from pmcanalysis_spark.multimodal import MEDIA, extract_media_features
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:, :, 0] = 255  # pure red
+    payload = _make_png(px, 2, [0, 1, 2, 3, 4])
+    df = spark.createDataFrame(
+        [("p1", "image", "image/png", len(payload), bytearray(payload))], MEDIA
+    )
+    [r] = extract_media_features(df).collect()
+    assert (r["width"], r["height"]) == (4, 4)
+    f = list(r["features"])
+    assert abs(f[0] - 1 / 3) < 1e-6        # global mean of pure red
+    assert abs(f[2] - 1.0) < 1e-6          # R channel mean
+    assert abs(f[3]) < 1e-6 and abs(f[4]) < 1e-6  # G, B

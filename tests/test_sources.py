@@ -295,6 +295,81 @@ MEDLINE_XML = """<MedlineCitationSet>
 </MedlineCitationSet>"""
 
 
+OWL_XML = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:oboInOwl="http://www.geneontology.org/formats/oboInOwl#">
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/DOID_0001">
+    <rdfs:label>Heart Disease</rdfs:label>
+    <oboInOwl:hasExactSynonym>cardiac disease</oboInOwl:hasExactSynonym>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/DOID_0010"/>
+    <rdfs:subClassOf><owl:Restriction/></rdfs:subClassOf>
+  </owl:Class>
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/DOID_0010">
+    <rdfs:label>disease</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/DOID_0000"/>
+  </owl:Class>
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/DOID_0099">
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/DOID_0000"/>
+    <owl:deprecated rdf:datatype="http://www.w3.org/2001/XMLSchema#boolean">true</owl:deprecated>
+  </owl:Class>
+</rdf:RDF>"""
+
+
+def test_parse_owl_subclass_of():
+    from pmcanalysis_spark.sources.obo import parse_owl_subclass_of
+
+    edges = parse_owl_subclass_of(OWL_XML)
+    assert ("DOID:0001", "DOID:0010") in edges
+    assert ("DOID:0010", "DOID:0000") in edges
+    # deprecated class contributes no edges; anonymous Restriction skipped
+    assert all(c != "DOID:0099" for c, _ in edges)
+    assert len(edges) == 2
+
+
+def test_parse_owl_labels():
+    from pmcanalysis_spark.sources.obo import parse_owl_labels
+
+    rows = parse_owl_labels(OWL_XML)
+    assert ("heart disease", "DOID:0001", "name") in rows
+    assert ("cardiac disease", "DOID:0001", "synonym") in rows
+    assert all(t != "DOID:0099" for _, t, _ in rows)  # deprecated skipped
+
+
+def test_owl_closure_equals_obo_twin(spark):
+    """The same edge set loaded through OBO is_a and through OWL
+    rdfs:subClassOf must close identically — format-agnostic S6."""
+    from pmcanalysis_spark.sources.obo import (
+        hierarchy_from_obo,
+        hierarchy_from_owl,
+    )
+
+    obo = "\n".join([
+        "[Term]", "id: X:1", "name: a", "is_a: X:10", "",
+        "[Term]", "id: X:10", "name: b", "is_a: X:0", "",
+        "[Term]", "id: X:2", "name: c", "is_a: X:10", "is_a: X:0", "",
+    ])
+    owl = """<?xml version="1.0"?>
+    <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+             xmlns:owl="http://www.w3.org/2002/07/owl#">
+      <owl:Class rdf:about="http://purl.obolibrary.org/obo/X_1">
+        <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/X_10"/>
+      </owl:Class>
+      <owl:Class rdf:about="http://purl.obolibrary.org/obo/X_10">
+        <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/X_0"/>
+      </owl:Class>
+      <owl:Class rdf:about="http://purl.obolibrary.org/obo/X_2">
+        <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/X_10"/>
+        <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/X_0"/>
+      </owl:Class>
+    </rdf:RDF>"""
+    a = sorted(tuple(r) for r in hierarchy_from_obo(spark, obo).collect())
+    b = sorted(tuple(r) for r in hierarchy_from_owl(spark, owl).collect())
+    assert a == b and ("X:1", "X:0") in a  # transitive edge present
+
+
 def test_parse_medline_xml_pure():
     from pmcanalysis_spark.sources.xml import parse_medline_xml_text
 
