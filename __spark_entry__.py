@@ -807,6 +807,127 @@ def q_ev_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal queries: constructed payloads whose ground truth is
+# SQL-expressible (single source of truth = the construction rule)
+# ---------------------------------------------------------------------------
+
+def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata fast path through the driver gate: a media table
+    derived from documents (kind by doc_id % 3, payload = the text bytes);
+    media_metadata aggregates kind/n_bytes WITHOUT touching payload (the
+    binary column prunes out of the scan — plan-contract tested in
+    tests/test_multimodal.py)."""
+    from pmcanalysis_spark.multimodal import media_metadata
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.octet_length("text").alias("n_bytes"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    out = media_metadata(media)
+    return out.select(
+        "kind", "n", "total_bytes", F.round("avg_bytes", 6).alias("avg_bytes")
+    )
+
+
+def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the driver gate: per doc, a constructed
+    PNG (even doc_id; RGB, scanline filters 0-4 cycling, zlib-deflated) or
+    binary PGM (odd doc_id), dimensions and solid color derived from doc_id.
+    extract_media_features must recover width/height and exact 0/1 channel
+    means through the real decoders (multimodal.decode_png_pixels /
+    decode_pixels) — the oracle recomputes the truth from the construction
+    rule alone."""
+    import zlib
+
+    import pandas as pd
+
+    from pmcanalysis_spark.multimodal import extract_media_features
+
+    def build(batches):
+        def chunk(t: bytes, d: bytes) -> bytes:
+            return (
+                len(d).to_bytes(4, "big") + t + d
+                + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "mime": [], "n_bytes": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = doc_id % 7 + 2, doc_id % 5 + 2
+                rgb = bytes(
+                    [255 * (doc_id % 3 == 0), 255 * (doc_id % 3 == 1),
+                     255 * (doc_id % 3 == 2)]
+                )
+                if doc_id % 2 == 0:  # PNG, filters cycle 0..4 per scanline
+                    raw = bytearray()
+                    row_px = rgb * w
+                    prev = bytes(3 * w)
+                    for y in range(h):
+                        ft = y % 5
+                        raw.append(ft)
+                        for x in range(3 * w):
+                            a = row_px[x - 3] if x >= 3 else 0
+                            b = prev[x]
+                            c = prev[x - 3] if x >= 3 else 0
+                            pred = (
+                                0 if ft == 0 else a if ft == 1 else b if ft == 2
+                                else (a + b) >> 1 if ft == 3
+                                else _paeth(a, b, c)
+                            )
+                            raw.append((row_px[x] - pred) & 0xFF)
+                        prev = row_px
+                    ihdr = (
+                        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                        + bytes([8, 2, 0, 0, 0])
+                    )
+                    payload = (
+                        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                        + chunk(b"IEND", b"")
+                    )
+                    mime = "image/png"
+                else:  # binary PGM, solid gray 0 or 255
+                    v = 255 * (doc_id % 3 == 0)
+                    payload = f"P5 {w} {h} 255\n".encode() + bytes([v]) * (w * h)
+                    mime = "image/x-portable-graymap"
+                rows["media_id"].append(str(doc_id))
+                rows["kind"].append("image")
+                rows["mime"].append(mime)
+                rows["n_bytes"].append(len(payload))
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    media = docs.mapInPandas(
+        build,
+        "media_id string, kind string, mime string, n_bytes int, payload binary",
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "width",
+        "height",
+        F.round(F.col("features")[2].cast("double"), 6).alias("r_mean"),
+        F.round(F.col("features")[3].cast("double"), 6).alias("g_mean"),
+        F.round(F.col("features")[4].cast("double"), 6).alias("b_mean"),
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if pa <= pb and pa <= pc else b if pb <= pc else c
+
+
+# ---------------------------------------------------------------------------
 # S6 production side: OBO -> is_a edges -> transitive closure (builder)
 # ---------------------------------------------------------------------------
 
@@ -1081,6 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_join_agg": q_tpch_join_agg,
         "ev_daily_counts": q_ev_daily_counts,
         "ev_topk_users": q_ev_topk_users,
+        "mm_metadata": q_mm_metadata,
+        "mm_image_features": q_mm_image_features,
     }
 
 
@@ -1854,6 +1977,31 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY user_id
             )
           ) WHERE rank <= 5
+        """,
+        "mm_metadata": """
+          SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 COUNT(*) AS n,
+                 CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+                 ROUND(AVG(strlen(text)), 6) AS avg_bytes
+          FROM documents GROUP BY 1
+        """,
+        # truth recomputed from the construction rule alone: the Spark side
+        # must round-trip it through REAL PNG/PGM encode -> decode
+        "mm_image_features": """
+          SELECT doc_id AS media_id,
+            CAST(doc_id % 7 + 2 AS INT) AS width,
+            CAST(doc_id % 5 + 2 AS INT) AS height,
+            ROUND(CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END, 6) AS r_mean,
+            ROUND(CASE WHEN doc_id % 2 = 0
+                       THEN (CASE WHEN doc_id % 3 = 1 THEN 1.0 ELSE 0.0 END)
+                       ELSE (CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END)
+                  END, 6) AS g_mean,
+            ROUND(CASE WHEN doc_id % 2 = 0
+                       THEN (CASE WHEN doc_id % 3 = 2 THEN 1.0 ELSE 0.0 END)
+                       ELSE (CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END)
+                  END, 6) AS b_mean
+          FROM documents
         """,
     }
 

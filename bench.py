@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "dd_exact_dedup",
     "dd_minhash",
     "dd_minhash_lsh_pairs",
+    "dd_text_neardup_scalable",
     "dd_simhash",
     "dd_embedding_neardup_scalable",
     "sim_ivf_topk",
@@ -43,6 +44,8 @@ BENCH_QUERIES = [
     "ts_top_ngrams",
     "link_scores",
     "sim_cosine_topk",
+    "kg_cutoff_auc",
+    "mm_image_features",
     "ev_daily_counts",
     "ev_topk_users",
     "tpch_pricing_summary",

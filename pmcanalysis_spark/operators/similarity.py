@@ -238,28 +238,27 @@ def _chunk_pairs(df: DataFrame, group_cols: list[str], max_group_size: int) -> D
     memory and runtime are bounded, and the m² chunk-pairs of a mega group
     spread across the cluster instead of serializing on one core.
 
-    Sizing pass: one count aggregate per group key (map-side combined) +
-    one join — the upstream (typically a narrow mapInPandas bucketize) is
-    evaluated twice; persist upstream if that pass is expensive.
+    Sizing: a COUNT window over the group key — ONE pass over the upstream
+    (no second scan, no join; the group-key shuffle it introduces replaces
+    the shuffle the downstream per-group kernel needed anyway).
     For n <= max_group_size: m = 1, a single (0,0) chunk-pair per group —
     byte-identical grouping to the uncapped path.
     Requires an ``id`` column (used for the deterministic chunk hash).
     """
-    sizes = df.groupBy(*group_cols).agg(F.count("*").alias("_gn"))
+    wsize = Window.partitionBy(*group_cols)
     m = F.greatest(
         F.lit(1).cast("long"),
-        F.ceil(F.col("_gn") / F.lit(float(max_group_size))).cast("long"),
+        F.ceil(F.count("*").over(wsize) / F.lit(float(max_group_size))).cast("long"),
     )
     d = (
-        df.join(sizes, group_cols)
-        .withColumn("_m", m)
+        df.withColumn("_m", m)
         .withColumn("_c", F.pmod(F.col("id"), F.col("_m")).cast("int"))
         .withColumn("_o", F.explode(F.sequence(F.lit(0), (F.col("_m") - 1).cast("int"))))
     )
     return (
         d.withColumn("ci", F.least("_c", "_o"))
         .withColumn("cj", F.greatest("_c", "_o"))
-        .drop("_gn", "_m", "_o")
+        .drop("_m", "_o")
     )
 
 
