@@ -139,3 +139,14 @@ def test_top_ngrams_uses_distributed_topk(spark):
     )
     plan = _plan(top_ngrams(docs, n=3, k=5))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ev_topk_users_uses_distributed_topk(spark):
+    """Regression (VERDICT r2): the global top-5 must plan as
+    TakeOrderedAndProject — the r2 version windowed over a constant key,
+    which serializes every user onto one task at scale. The row_number
+    window that remains runs over the 5 surviving rows only."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["ev_topk_users"](spark, "/root/testdata/sf0.001")
+    assert "TakeOrderedAndProject" in _plan(df)
