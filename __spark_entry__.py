@@ -479,6 +479,26 @@ def q_ts_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_docs_parallel(spark, sf_dir), n=3, k=20)
 
 
+def q_ts_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (training-data hygiene): deterministic emails/IPs/phones
+    appended per doc (so both engines see PII-bearing text built by the
+    same rule), then redact_pii's regexp chain + per-kind counts."""
+    from pmcanalysis_spark.operators.textstats import redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel 555-01"), F.format_string("%02d", (F.col("doc_id") % 100).cast("int")),
+            F.lit("-4242 end"),
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmcanalysis_spark.operators.similarity import cosine_topk
 
@@ -1197,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_fingerprint": q_ts_fingerprint,
         "ts_repetition": q_ts_repetition,
         "ts_top_ngrams": q_ts_top_ngrams,
+        "ts_pii_redact": q_ts_pii_redact,
         "sim_cosine_topk": q_sim_cosine_topk,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_join_agg": q_tpch_join_agg,
@@ -1977,6 +1998,25 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY user_id
             )
           ) WHERE rank <= 5
+        """,
+        "ts_pii_redact": """
+          WITH built AS (
+            SELECT doc_id,
+              concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                     '@example.com or 10.0.0.', CAST(doc_id % 256 AS VARCHAR),
+                     ' tel 555-01', printf('%02d', CAST(doc_id % 100 AS INT)),
+                     '-4242 end') AS text
+            FROM documents
+          )
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                '\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b', '<PHONE>', 'g') AS redacted,
+            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+            CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+            CAST(len(regexp_extract_all(text, '\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b')) AS INT) AS n_phone
+          FROM built
         """,
         "mm_metadata": """
           SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

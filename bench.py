@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "ts_fingerprint",
     "ts_repetition",
     "ts_top_ngrams",
+    "ts_pii_redact",
     "link_scores",
     "sim_cosine_topk",
     "kg_cutoff_auc",

@@ -48,3 +48,26 @@ def test_fingerprint_order_sensitive_and_deterministic(spark):
     out = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
     assert out[1] == out[3]
     assert out[1] != out[2]
+
+
+def test_redact_pii(spark):
+    from pmcanalysis_spark.operators.textstats import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org thanks"),
+            (2, "server 192.168.1.254 and backup 10.0.0.1"),
+            (3, "call 555-0199-4242 or 555 123 4567 today"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert rows[1].redacted == "mail me at <EMAIL> thanks"
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (1, 0, 0)
+    assert rows[2].redacted == "server <IP> and backup <IP>"
+    assert rows[2].n_ipv4 == 2
+    assert rows[3].redacted == "call <PHONE> or <PHONE> today"
+    assert rows[3].n_phone == 2
+    assert rows[4].redacted == "nothing sensitive here"
+    assert (rows[4].n_email, rows[4].n_ipv4, rows[4].n_phone) == (0, 0, 0)
