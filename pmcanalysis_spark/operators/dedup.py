@@ -285,6 +285,13 @@ def neardup_text_scalable(
     corpus, so the confirm joins are cheap; the hot-shingle bound (on by
     default) applies to the confirm's Jaccard space exactly as in
     ``ngram_jaccard_pairs`` so the two operators agree pairwise.
+
+    One deliberate trade: the shingle subtree is referenced by the minhash,
+    sizes, a-side and b-side branches, and Catalyst does not CSE across
+    branches — each branch re-runs the explode. At real corpus scale,
+    materialize the shingle table once between the candidate and confirm
+    stages (``lineage.materialize_stage`` exists for exactly this) instead
+    of letting four branches rescan the corpus.
     """
     cand = minhash_lsh_pairs(docs, id_col, text_col, n, num_hashes, bands)
     sh = _drop_hot_shingles(

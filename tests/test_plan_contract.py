@@ -112,6 +112,24 @@ def test_neardup_scalable_never_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_text_neardup_scalable_never_cartesian(spark):
+    """The r3 text near-dup composition must stay candidate-restricted:
+    equi-joins on (band, bucket) then (doc, shingle) — a CartesianProduct /
+    nested-loop anywhere means the quadratic all-pairs regression is back."""
+    from pmcanalysis_spark.operators.dedup import neardup_text_scalable
+
+    import re
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(neardup_text_scalable(docs, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    # the ONLY tolerated nested-loop is the 1-row scalar broadcast of the
+    # auto hot-shingle bound (condition references _n_docs); any other
+    # nested loop would be the all-pairs regression
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "_n_docs" in m.group(0), m.group(0)
+
+
 def test_serving_lookup_pushes_term_filter(spark, tmp_path):
     """The point-lookup's IN-filter must reach the inverted-index parquet
     scan (PushedFilters: In(term_id, ...)) — the O(selected terms) cost
