@@ -858,12 +858,13 @@ def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the driver gate: per doc, a constructed
-    PNG (even doc_id; RGB, scanline filters 0-4 cycling, zlib-deflated) or
+    PNG (doc_id % 4 == 0; RGB, scanline filters 0-4 cycling, zlib-deflated),
+    a baseline JPEG (doc_id % 4 == 2; solid gray, DC-only entropy segment
+    through the full Huffman+IDCT path of jpeg.decode_jpeg_pixels) or a
     binary PGM (odd doc_id), dimensions and solid color derived from doc_id.
     extract_media_features must recover width/height and exact 0/1 channel
-    means through the real decoders (multimodal.decode_png_pixels /
-    decode_pixels) — the oracle recomputes the truth from the construction
-    rule alone."""
+    means through the real decoders — the oracle recomputes the truth from
+    the construction rule alone."""
     import zlib
 
     import pandas as pd
@@ -877,6 +878,44 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big")
             )
 
+        def seg(marker: int, body: bytes) -> bytes:
+            return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+        def const_gray_jpeg(w: int, h: int, v: int) -> bytes:
+            """Single-MCU baseline JPEG of a solid gray v (w, h <= 8): one
+            DC coefficient (v-128)*8, AC all zero — tiny hand-built
+            canonical tables (DC cats 0..11 at 6 bits, AC just EOB)."""
+            dc = (v - 128) * 8
+            t = 0
+            a = abs(dc)
+            while a:
+                t += 1
+                a >>= 1
+            dcval = dc if dc >= 0 else dc + (1 << t) - 1
+            bits = ""
+            bits += format(t, "06b")  # DC table: symbol s has 6-bit code s
+            if t:
+                bits += format(dcval, f"0{t}b")
+            bits += "00"  # AC table: EOB has 2-bit code 0
+            bits += "1" * ((8 - len(bits) % 8) % 8)
+            ecs = bytearray(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+            for i in range(len(ecs) - 1, -1, -1):  # byte stuffing
+                if ecs[i] == 0xFF:
+                    ecs.insert(i + 1, 0x00)
+            dc_bits = bytes([0, 0, 0, 0, 0, 12] + [0] * 10)
+            ac_bits = bytes([0, 1] + [0] * 14)
+            return (
+                b"\xff\xd8"
+                + seg(0xDB, bytes([0]) + bytes([1] * 64))
+                + seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                      + bytes([1, 1, 0x11, 0]))
+                + seg(0xC4, bytes([0x00]) + dc_bits + bytes(range(12)))
+                + seg(0xC4, bytes([0x10]) + ac_bits + bytes([0x00]))
+                + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+                + bytes(ecs)
+                + b"\xff\xd9"
+            )
+
         for pdf in batches:
             rows = {"media_id": [], "kind": [], "mime": [], "n_bytes": [], "payload": []}
             for doc_id in pdf["doc_id"]:
@@ -886,7 +925,11 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [255 * (doc_id % 3 == 0), 255 * (doc_id % 3 == 1),
                      255 * (doc_id % 3 == 2)]
                 )
-                if doc_id % 2 == 0:  # PNG, filters cycle 0..4 per scanline
+                if doc_id % 4 == 2:  # baseline JPEG, solid gray
+                    v = 255 * (doc_id % 3 == 0)
+                    payload = const_gray_jpeg(w, h, v)
+                    mime = "image/jpeg"
+                elif doc_id % 2 == 0:  # PNG, filters cycle 0..4 per scanline
                     raw = bytearray()
                     row_px = rgb * w
                     prev = bytes(3 * w)
@@ -2033,11 +2076,13 @@ def oracle_sql() -> dict[str, str]:
             CAST(doc_id % 7 + 2 AS INT) AS width,
             CAST(doc_id % 5 + 2 AS INT) AS height,
             ROUND(CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END, 6) AS r_mean,
-            ROUND(CASE WHEN doc_id % 2 = 0
+            -- doc_id %4=0: PNG (solid RGB); %4=2: baseline JPEG (solid
+            -- gray); odd: PGM (solid gray) — gray rows have g=b=r
+            ROUND(CASE WHEN doc_id % 4 = 0
                        THEN (CASE WHEN doc_id % 3 = 1 THEN 1.0 ELSE 0.0 END)
                        ELSE (CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END)
                   END, 6) AS g_mean,
-            ROUND(CASE WHEN doc_id % 2 = 0
+            ROUND(CASE WHEN doc_id % 4 = 0
                        THEN (CASE WHEN doc_id % 3 = 2 THEN 1.0 ELSE 0.0 END)
                        ELSE (CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END)
                   END, 6) AS b_mean

@@ -1,14 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Pixel decode is REAL for every codec-free format: 24-bit BMP, binary
-PGM/PPM, and 8-bit non-interlaced PNG (stdlib zlib inflate + scanline
-unfilter — color types gray/RGB/palette/gray+alpha/RGBA). JPEG pixel decode
-and video frame sampling genuinely need codec libraries absent from this
-container, so those two kernels are STUBS (clearly marked; raise
-NotImplementedError unless the deterministic fake is enabled); their
-width/height still parse for real from the headers. Everything Spark-side
-is real and tested: schemas, partitioning, the mapInPandas batch shape, and
-the metadata fast-path that never touches the payload bytes.
+Pixel decode is REAL with zero codec libraries: 24-bit BMP, binary PGM/PPM,
+8-bit non-interlaced PNG (stdlib zlib inflate + scanline unfilter — color
+types gray/RGB/palette/gray+alpha/RGBA) and baseline JPEG (pure-numpy
+Huffman + dequant + IDCT + chroma upsample, jpeg.py; progressive/arithmetic
+JPEGs fall back to real header dims). The ONE remaining stub is the video
+frame sampler (genuinely ffmpeg-blocked; clearly marked, raises
+NotImplementedError unless the deterministic fake is enabled). Everything
+Spark-side is real and tested: schemas, partitioning, the mapInPandas batch
+shape, and the metadata fast-path that never touches the payload bytes.
 
 Design for 100 TB of media: the payload column lives in its own parquet/
 Iceberg files (column pruning means metadata queries read ZERO payload
@@ -192,15 +192,20 @@ def decode_png_pixels(payload: bytes):
 
 
 def decode_pixels(payload: bytes):
-    """REAL pixel decode (pure stdlib + numpy) for every format that needs
-    no codec library: 24-bit uncompressed BMP, binary PGM/PPM, and 8-bit
-    non-interlaced PNG (zlib inflate + scanline unfilter). Returns a
-    (height, width, channels) uint8 array, or None for formats genuinely
-    requiring a codec (JPEG/GIF — header-only there)."""
+    """REAL pixel decode (pure stdlib + numpy), no codec library: 24-bit
+    uncompressed BMP, binary PGM/PPM, 8-bit non-interlaced PNG (zlib
+    inflate + scanline unfilter) and baseline JPEG (Huffman + IDCT,
+    jpeg.decode_jpeg_pixels). Returns a (height, width, channels) uint8
+    array, or None outside those subsets (progressive JPEG, GIF pixels —
+    header-only there)."""
     import numpy as np
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
 
     if len(payload) >= 54 and payload[:2] == b"BM":
         off = int.from_bytes(payload[10:14], "little")
@@ -303,13 +308,12 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     """Decode tiering, most-real first:
 
-    1. BMP / PGM / PPM / PNG (8-bit non-interlaced): REAL pixels
-       (decode_pixels) -> real width/height and real statistical features
-       (global + per-channel means, std, aspect).
-    2. GIF / JPEG / exotic PNGs: REAL width/height (header parse); pixel
-       features need a codec library absent from this container, so the
-       feature slot is a deterministic byte-derived fake (clearly not
-       semantic).
+    1. BMP / PGM / PPM / PNG (8-bit non-interlaced) / baseline JPEG: REAL
+       pixels (decode_pixels) -> real width/height and real statistical
+       features (global + per-channel means, std, aspect).
+    2. GIF / progressive JPEG / exotic PNGs: REAL width/height (header
+       parse); pixel features there are a deterministic byte-derived fake
+       (clearly not semantic).
     3. Unrecognized payloads: full fake iff USE_FAKE_DECODE, else raises.
     """
     px = decode_pixels(payload)
