@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Pixel decode is REAL with zero codec libraries: 24-bit BMP, binary PGM/PPM,
-8-bit non-interlaced PNG (stdlib zlib inflate + scanline unfilter — color
-types gray/RGB/palette/gray+alpha/RGBA) and baseline JPEG (pure-numpy
-Huffman + dequant + IDCT + chroma upsample, jpeg.py; progressive/arithmetic
-JPEGs fall back to real header dims). The ONE remaining stub is the video
-frame sampler (genuinely ffmpeg-blocked; clearly marked, raises
+Decode is REAL with zero codec libraries across all three modalities:
+images — 24-bit BMP, binary PGM/PPM, 8-bit non-interlaced PNG (stdlib zlib
+inflate + scanline unfilter, all color types) and baseline JPEG (pure-numpy
+Huffman + dequant + IDCT + chroma upsample, jpeg.py; progressive JPEGs fall
+back to real header dims); audio — RIFF/WAVE PCM 8/16/32-bit and
+IEEE-float-32 (duration/RMS/peak/zero-crossing features); video —
+Motion-JPEG AVI frame sampling (RIFF chunk walk, each frame through the
+JPEG decoder). The ONE remaining stub is frame sampling for compressed
+video codecs (MP4/H.264 — genuinely ffmpeg-blocked; clearly marked, raises
 NotImplementedError unless the deterministic fake is enabled). Everything
 Spark-side is real and tested: schemas, partitioning, the mapInPandas batch
 shape, and the metadata fast-path that never touches the payload bytes.
@@ -305,6 +308,77 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def decode_wav_samples(payload: bytes):
+    """REAL audio decode (pure stdlib + numpy): RIFF/WAVE with PCM
+    (8/16/32-bit int) or IEEE-float-32 samples -> (samples, channels)
+    float64 array in [-1, 1] plus the sample rate: ((n, ch) array, rate).
+    Returns None outside that subset (compressed codecs need a library)."""
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if channels < 1 or rate <= 0:
+        return None
+    if audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        return None
+    usable = (len(x) // channels) * channels
+    if usable == 0:
+        return None
+    return x[:usable].reshape(-1, channels), rate
+
+
+def _decode_audio(payload: bytes) -> tuple[int, int, list[float]] | None:
+    """Audio feature kernel: (n_samples, channels, 8 features) — duration,
+    RMS, peak, zero-crossing rate, per-channel means (up to 2), DC offset,
+    sample rate (scaled). None when the payload is not decodable WAV."""
+    decoded = decode_wav_samples(payload)
+    if decoded is None:
+        return None
+    import numpy as np
+
+    x, rate = decoded
+    n, ch = x.shape
+    mono = x.mean(axis=1)
+    zc = float(np.mean(np.abs(np.diff(np.signbit(mono)).astype(np.float64)))) if n > 1 else 0.0
+    feats = [
+        float(n / rate),                       # duration seconds
+        float(np.sqrt((mono * mono).mean())),  # RMS
+        float(np.abs(x).max()),                # peak
+        zc,                                    # zero-crossing rate
+        float(x[:, 0].mean()),
+        float(x[:, 1].mean()) if ch > 1 else float(x[:, 0].mean()),
+        float(mono.mean()),                    # DC offset
+        float(rate) / 48000.0,
+    ]
+    return n, ch, feats
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     """Decode tiering, most-real first:
 
@@ -346,10 +420,46 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
+def _avi_mjpeg_frames(payload: bytes) -> list[bytes] | None:
+    """REAL frame extraction for Motion-JPEG in an AVI container (pure
+    stdlib): walk the RIFF chunk tree, collect every video-stream chunk
+    ('##dc'/'##db') whose body starts with a JPEG SOI — each frame then
+    decodes through jpeg.decode_jpeg_pixels like any still. Returns None
+    when the payload is not a RIFF AVI (or holds no JPEG frames)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if cid == b"LIST" and sz >= 4:
+                walk(body + 4, min(body + sz, end))
+            elif (
+                cid[2:4] in (b"dc", b"db")
+                and sz >= 2
+                and payload[body : body + 2] == b"\xff\xd8"
+            ):
+                frames.append(payload[body : body + sz])
+            pos = body + sz + (sz & 1)  # word alignment
+
+    walk(12, len(payload))
+    return frames or None
+
+
 def _sample_frames(payload: bytes, every: int) -> list[bytes]:
-    """STUB frame sampler: real implementation needs ffmpeg bindings."""
+    """Frame sampler: REAL for Motion-JPEG AVI (every ``every``-th frame of
+    the RIFF walk above); other containers (MP4/H.264...) genuinely need
+    ffmpeg and remain the one STUB in this module."""
+    real = _avi_mjpeg_frames(payload)
+    if real is not None:
+        return real[:: max(every, 1)]
     if not USE_FAKE_DECODE:
-        raise NotImplementedError("video frame sampling requires ffmpeg")
+        raise NotImplementedError(
+            "non-MJPEG-AVI video frame sampling requires ffmpeg"
+        )
     n = max(1, (len(payload) // 1024) // max(every, 1))
     return [payload[i * 16 : i * 16 + 16] for i in range(min(n, 4))]
 
@@ -378,6 +488,18 @@ def extract_media_features(media: DataFrame, frame_every: int = 10) -> DataFrame
             out = {k: [] for k in ("media_id", "frame_idx", "width", "height", "features")}
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
+                if kind == "audio":
+                    a = _decode_audio(payload)
+                    if a is not None:
+                        # REAL audio stats: width = n_samples, height =
+                        # channels (documented overload of the image slots)
+                        n, ch, feats = a
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(0)
+                        out["width"].append(n)
+                        out["height"].append(ch)
+                        out["features"].append(feats)
+                        continue
                 if kind == "video":
                     frames = _sample_frames(payload, frame_every)
                 else:

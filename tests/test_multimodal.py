@@ -295,3 +295,111 @@ def test_png_real_features_through_spark(spark):
     assert abs(f[0] - 1 / 3) < 1e-6        # global mean of pure red
     assert abs(f[2] - 1.0) < 1e-6          # R channel mean
     assert abs(f[3]) < 1e-6 and abs(f[4]) < 1e-6  # G, B
+
+
+def _tiny_wav(rate=8000, channels=1, bits=16, samples=None, fmt=1):
+    """Hand-built RIFF/WAVE: PCM int or float-32 samples."""
+    import struct
+
+    import numpy as np
+
+    if samples is None:
+        t = np.arange(800)
+        samples = np.sin(2 * np.pi * 440 * t / rate)
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = np.tile(x[:, None], (1, channels))
+    if fmt == 1 and bits == 16:
+        raw = np.clip(np.rint(x * 32768), -32768, 32767).astype("<i2").tobytes()
+    elif fmt == 1 and bits == 8:
+        raw = np.clip(np.rint(x * 128 + 128), 0, 255).astype(np.uint8).tobytes()
+    elif fmt == 3 and bits == 32:
+        raw = x.astype("<f4").tobytes()
+    else:
+        raise ValueError
+    block = channels * bits // 8
+    fmt_body = struct.pack(
+        "<HHIIHH", fmt, channels, rate, rate * block, block, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+        + b"data" + len(raw).to_bytes(4, "little") + raw
+    )
+    return b"RIFF" + (len(body)).to_bytes(4, "little") + body
+
+
+def test_wav_decode_real():
+    import numpy as np
+
+    from pmcanalysis_spark.multimodal import decode_wav_samples
+
+    t = np.arange(1600)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t / 8000)
+    x, rate = decode_wav_samples(_tiny_wav(samples=sig))
+    assert rate == 8000 and x.shape == (1600, 1)
+    assert np.max(np.abs(x[:, 0] - sig)) < 1e-3  # 16-bit quantization
+    # float-32 path is lossless up to float32 rounding
+    xf, _ = decode_wav_samples(_tiny_wav(samples=sig, fmt=3, bits=32))
+    assert np.max(np.abs(xf[:, 0] - sig)) < 1e-6
+    # stereo + 8-bit
+    xs, _ = decode_wav_samples(_tiny_wav(samples=sig, channels=2, bits=8))
+    assert xs.shape == (1600, 2)
+    from pmcanalysis_spark.multimodal import decode_wav_samples as d
+    assert d(b"RIFFxxxxNOPE") is None and d(b"") is None
+
+
+def test_audio_features_through_spark(spark):
+    """kind='audio' rows take the REAL WAV path: width=n_samples,
+    height=channels, duration/RMS features match the generating signal."""
+    import numpy as np
+
+    from pmcanalysis_spark.multimodal import MEDIA, extract_media_features
+
+    t = np.arange(8000)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t / 8000)  # exactly 1 second
+    payload = _tiny_wav(rate=8000, samples=sig)
+    df = spark.createDataFrame(
+        [("a1", "audio", "audio/wav", len(payload), bytearray(payload))], MEDIA
+    )
+    [r] = extract_media_features(df).collect()
+    assert (r["width"], r["height"]) == (8000, 1)
+    f = list(r["features"])
+    assert abs(f[0] - 1.0) < 1e-6          # duration
+    assert abs(f[1] - 0.5 / np.sqrt(2)) < 1e-3  # RMS of a 0.5 sine
+    assert abs(f[2] - 0.5) < 1e-3          # peak
+
+
+def test_avi_mjpeg_frame_sampling(spark):
+    """Motion-JPEG AVI: the RIFF walk extracts JPEG frames and each sampled
+    frame decodes through the REAL JPEG path."""
+    import numpy as np
+    from test_jpeg import Q1, encode_jpeg
+
+    from pmcanalysis_spark.multimodal import MEDIA, extract_media_features
+
+    frames = []
+    for v in (0, 255, 0, 255):  # alternating black / white 8x8 grays
+        frames.append(encode_jpeg([np.full((8, 8), float(v))], [Q1], [(1, 1)]))
+    movi = b"movi"
+    for fr in frames:
+        movi += b"00dc" + len(fr).to_bytes(4, "little") + fr
+        if len(fr) & 1:
+            movi += b"\x00"
+    body = b"AVI " + b"LIST" + len(movi).to_bytes(4, "little") + movi
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    df = spark.createDataFrame(
+        [("v1", "video", "video/x-msvideo", len(payload), bytearray(payload))],
+        MEDIA,
+    )
+    rows = sorted(
+        extract_media_features(df, frame_every=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(rows) == 2  # every 2nd of 4 frames
+    assert all((r["width"], r["height"]) == (8, 8) for r in rows)
+    means = [round(list(r["features"])[0], 3) for r in rows]
+    assert means == [0.0, 0.0] or means == [0.0, 1.0] or means == [1.0, 1.0]
+    # frames 0 and 2 sampled: black then black (v=0, 0) per the list above
+    assert means == [0.0, 0.0]
