@@ -878,43 +878,7 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big")
             )
 
-        def seg(marker: int, body: bytes) -> bytes:
-            return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
-
-        def const_gray_jpeg(w: int, h: int, v: int) -> bytes:
-            """Single-MCU baseline JPEG of a solid gray v (w, h <= 8): one
-            DC coefficient (v-128)*8, AC all zero — tiny hand-built
-            canonical tables (DC cats 0..11 at 6 bits, AC just EOB)."""
-            dc = (v - 128) * 8
-            t = 0
-            a = abs(dc)
-            while a:
-                t += 1
-                a >>= 1
-            dcval = dc if dc >= 0 else dc + (1 << t) - 1
-            bits = ""
-            bits += format(t, "06b")  # DC table: symbol s has 6-bit code s
-            if t:
-                bits += format(dcval, f"0{t}b")
-            bits += "00"  # AC table: EOB has 2-bit code 0
-            bits += "1" * ((8 - len(bits) % 8) % 8)
-            ecs = bytearray(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
-            for i in range(len(ecs) - 1, -1, -1):  # byte stuffing
-                if ecs[i] == 0xFF:
-                    ecs.insert(i + 1, 0x00)
-            dc_bits = bytes([0, 0, 0, 0, 0, 12] + [0] * 10)
-            ac_bits = bytes([0, 1] + [0] * 14)
-            return (
-                b"\xff\xd8"
-                + seg(0xDB, bytes([0]) + bytes([1] * 64))
-                + seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-                      + bytes([1, 1, 0x11, 0]))
-                + seg(0xC4, bytes([0x00]) + dc_bits + bytes(range(12)))
-                + seg(0xC4, bytes([0x10]) + ac_bits + bytes([0x00]))
-                + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-                + bytes(ecs)
-                + b"\xff\xd9"
-            )
+        const_gray_jpeg = _const_gray_jpeg
 
         for pdf in batches:
             rows = {"media_id": [], "kind": [], "mime": [], "n_bytes": [], "payload": []}
@@ -988,6 +952,144 @@ def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
     return a if pa <= pb and pa <= pc else b if pb <= pc else c
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _const_gray_jpeg(w: int, h: int, v: int) -> bytes:
+    """Single-MCU baseline JPEG of a solid gray v (w, h <= 8): one DC
+    coefficient (v-128)*8, AC all zero — tiny hand-built canonical tables
+    (DC cats 0..11 at 6 bits, AC just EOB). Shared by the image and video
+    driver-gate payload builders."""
+    dc = (v - 128) * 8
+    t = 0
+    a = abs(dc)
+    while a:
+        t += 1
+        a >>= 1
+    dcval = dc if dc >= 0 else dc + (1 << t) - 1
+    bits = format(t, "06b")  # DC table: symbol s has 6-bit code s
+    if t:
+        bits += format(dcval, f"0{t}b")
+    bits += "00"  # AC table: EOB has 2-bit code 0
+    bits += "1" * ((8 - len(bits) % 8) % 8)
+    ecs = bytearray(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    for i in range(len(ecs) - 1, -1, -1):  # byte stuffing
+        if ecs[i] == 0xFF:
+            ecs.insert(i + 1, 0x00)
+    dc_bits = bytes([0, 0, 0, 0, 0, 12] + [0] * 10)
+    ac_bits = bytes([0, 1] + [0] * 14)
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + _jpeg_seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                    + bytes([1, 1, 0x11, 0]))
+        + _jpeg_seg(0xC4, bytes([0x00]) + dc_bits + bytes(range(12)))
+        + _jpeg_seg(0xC4, bytes([0x10]) + ac_bits + bytes([0x00]))
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(ecs)
+        + b"\xff\xd9"
+    )
+
+
+def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode through the driver gate: per doc a constant-sample
+    PCM-16 mono WAV (rate 1024, n = 64 + doc_id % 50 samples, constant
+    c = (doc_id % 5)/8) — every emitted feature is an exact binary fraction
+    (c*32768 is an integer, sqrt(c²) == |c|, n/1024 is dyadic), so the
+    float32 feature slots carry exact values the oracle recomputes from the
+    construction rule."""
+    import struct
+
+    import pandas as pd
+
+    from pmcanalysis_spark.multimodal import extract_media_features
+
+    def build(batches):
+        fmt_body = struct.pack("<HHIIHH", 1, 1, 1024, 2048, 2, 16)
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "mime": [], "n_bytes": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nsamp = 64 + doc_id % 50
+                val = (doc_id % 5) * 4096  # c * 32768 with c = (doc_id%5)/8
+                raw = struct.pack("<h", val) * nsamp
+                body = (
+                    b"WAVE"
+                    + b"fmt " + (16).to_bytes(4, "little") + fmt_body
+                    + b"data" + len(raw).to_bytes(4, "little") + raw
+                )
+                payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+                rows["media_id"].append(str(doc_id))
+                rows["kind"].append("audio")
+                rows["mime"].append("audio/wav")
+                rows["n_bytes"].append(len(payload))
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    media = docs.mapInPandas(
+        build,
+        "media_id string, kind string, mime string, n_bytes int, payload binary",
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("width").alias("n_samples"),
+        F.col("height").alias("channels"),
+        F.round(F.col("features")[0].cast("double"), 6).alias("duration"),
+        F.round(F.col("features")[1].cast("double"), 6).alias("rms"),
+        F.round(F.col("features")[2].cast("double"), 6).alias("peak"),
+        F.round(F.col("features")[3].cast("double"), 6).alias("zcr"),
+    )
+
+
+def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling through the driver gate: per doc a
+    Motion-JPEG AVI of (doc_id % 3 + 1) constant-gray frames (frame i gray
+    255 iff (doc_id + i) % 2 == 0); extract_media_features walks the RIFF
+    tree and decodes every frame through the baseline JPEG path — the
+    oracle regenerates (frame_idx, dims, mean) from the rule."""
+    import pandas as pd
+
+    from pmcanalysis_spark.multimodal import extract_media_features
+
+    def build(batches):
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "mime": [], "n_bytes": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = doc_id % 7 + 2, doc_id % 5 + 2
+                movi = b"movi"
+                for i in range(doc_id % 3 + 1):
+                    fr = _const_gray_jpeg(w, h, 255 * ((doc_id + i) % 2 == 0))
+                    movi += b"00dc" + len(fr).to_bytes(4, "little") + fr
+                    if len(fr) & 1:
+                        movi += b"\x00"
+                body = b"AVI " + b"LIST" + len(movi).to_bytes(4, "little") + movi
+                payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+                rows["media_id"].append(str(doc_id))
+                rows["kind"].append("video")
+                rows["mime"].append("video/x-msvideo")
+                rows["n_bytes"].append(len(payload))
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    media = docs.mapInPandas(
+        build,
+        "media_id string, kind string, mime string, n_bytes int, payload binary",
+    )
+    feats = extract_media_features(media, frame_every=1)
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "frame_idx",
+        "width",
+        "height",
+        F.round(F.col("features")[0].cast("double"), 6).alias("mean"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1268,6 +1370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_topk_users": q_ev_topk_users,
         "mm_metadata": q_mm_metadata,
         "mm_image_features": q_mm_image_features,
+        "mm_audio_features": q_mm_audio_features,
+        "mm_video_frames": q_mm_video_frames,
     }
 
 
@@ -2087,6 +2191,29 @@ def oracle_sql() -> dict[str, str]:
                        ELSE (CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END)
                   END, 6) AS b_mean
           FROM documents
+        """,
+        # exact binary fractions by construction: c = (doc_id%5)/8,
+        # duration = n/1024 — float32-exact on the Spark side
+        "mm_audio_features": """
+          SELECT doc_id AS media_id,
+            CAST(64 + doc_id % 50 AS INT) AS n_samples,
+            CAST(1 AS INT) AS channels,
+            ROUND(CAST(64 + doc_id % 50 AS DOUBLE) / 1024, 6) AS duration,
+            ROUND(CAST(doc_id % 5 AS DOUBLE) / 8, 6) AS rms,
+            ROUND(CAST(doc_id % 5 AS DOUBLE) / 8, 6) AS peak,
+            ROUND(0.0, 6) AS zcr
+          FROM documents
+        """,
+        "mm_video_frames": """
+          SELECT media_id, CAST(i AS INT) AS frame_idx,
+            CAST(media_id % 7 + 2 AS INT) AS width,
+            CAST(media_id % 5 + 2 AS INT) AS height,
+            ROUND(CASE WHEN (media_id + i) % 2 = 0 THEN 1.0 ELSE 0.0 END, 6) AS mean
+          FROM (
+            SELECT doc_id AS media_id,
+                   unnest(range(doc_id % 3 + 1)) AS i
+            FROM documents
+          )
         """,
     }
 
