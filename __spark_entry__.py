@@ -860,8 +860,9 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the driver gate: per doc, a constructed
     PNG (doc_id % 4 == 0; RGB, scanline filters 0-4 cycling, zlib-deflated),
     a baseline JPEG (doc_id % 4 == 2; solid gray, DC-only entropy segment
-    through the full Huffman+IDCT path of jpeg.decode_jpeg_pixels) or a
-    binary PGM (odd doc_id), dimensions and solid color derived from doc_id.
+    through the full Huffman+IDCT path), a GIF (doc_id % 4 == 3; solid
+    gray through the full LZW path) or a binary PGM (doc_id % 4 == 1),
+    dimensions and solid color derived from doc_id.
     extract_media_features must recover width/height and exact 0/1 channel
     means through the real decoders — the oracle recomputes the truth from
     the construction rule alone."""
@@ -921,6 +922,10 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + chunk(b"IEND", b"")
                     )
                     mime = "image/png"
+                elif doc_id % 4 == 3:  # GIF, solid gray via 2-entry palette
+                    v = 255 * (doc_id % 3 == 0)
+                    payload = _const_gray_gif(w, h, v)
+                    mime = "image/gif"
                 else:  # binary PGM, solid gray 0 or 255
                     v = 255 * (doc_id % 3 == 0)
                     payload = f"P5 {w} {h} 255\n".encode() + bytes([v]) * (w * h)
@@ -992,6 +997,36 @@ def _const_gray_jpeg(w: int, h: int, v: int) -> bytes:
         + bytes(ecs)
         + b"\xff\xd9"
     )
+
+
+def _const_gray_gif(w: int, h: int, v: int) -> bytes:
+    """Solid-gray GIF via a 4-entry palette (black at 0, white at 1) and a
+    trivially conformant LZW stream: CLEAR before every literal keeps the
+    code width constant at 3 bits (min code size 2) — the decoder still
+    runs its full LZW machinery."""
+    idx = 1 if v else 0
+    acc = nbits = 0
+    data = bytearray()
+    for code in [c for _ in range(w * h) for c in (4, idx)] + [5]:  # CLEAR,px..,END
+        acc |= code << nbits
+        nbits += 3
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x81, 0, 0])  # GCT present, depth 2 (4 entries)
+    out += bytes([0, 0, 0, 255, 255, 255]) + b"\x00" * 6
+    out += b"\x2c" + b"\x00\x00\x00\x00"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out += bytes([2])  # LZW min code size
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out += bytes([len(blk)]) + bytes(blk)
+    return bytes(out + b"\x00\x3b")
 
 
 def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2,9 +2,10 @@
 
 Decode is REAL with zero codec libraries across all three modalities:
 images — 24-bit BMP, binary PGM/PPM, 8-bit non-interlaced PNG (stdlib zlib
-inflate + scanline unfilter, all color types) and baseline JPEG (pure-numpy
+inflate + scanline unfilter, all color types), baseline JPEG (pure-numpy
 Huffman + dequant + IDCT + chroma upsample, jpeg.py; progressive JPEGs fall
-back to real header dims); audio — RIFF/WAVE PCM 8/16/32-bit and
+back to real header dims) and GIF (full LZW + interlace + palettes);
+audio — RIFF/WAVE PCM 8/16/32-bit and
 IEEE-float-32 (duration/RMS/peak/zero-crossing features); video —
 Motion-JPEG AVI frame sampling (RIFF chunk walk, each frame through the
 JPEG decoder). The ONE remaining stub is frame sampling for compressed
@@ -194,13 +195,147 @@ def decode_png_pixels(payload: bytes):
     return flat.copy()
 
 
+def decode_gif_pixels(payload: bytes):
+    """REAL GIF decode (pure stdlib + numpy): GIF87a/89a, global or local
+    color table, full LZW decompression (variable code width, CLEAR/END,
+    the KwKwK case), interlaced or sequential row order; extensions are
+    skipped, and for animated GIFs the FIRST frame renders (composited at
+    its offset on a canvas of the logical screen, background index 0).
+    Returns (h, w, 3) uint8 RGB or None on malformed/truncated payloads."""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        if len(gct) < n:
+            return None
+        pos += 3 * n
+    if sw <= 0 or sh <= 0:
+        return None
+    try:
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x3B:  # trailer
+                return None
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if b != 0x2C:  # not an image descriptor
+                return None
+            left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+            iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            iflags = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if ct is None or iw <= 0 or ih <= 0:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+            if idx is None or (idx >= len(ct)).any():
+                return None
+            img = ct[idx].reshape(ih, iw, 3)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                out = np.empty_like(img)
+                order = (
+                    list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                )
+                for src, dst in enumerate(order):
+                    out[dst] = img[src]
+                img = out
+            canvas = np.tile(ct[0], (sh, sw, 1)).astype(np.uint8)
+            canvas[top : top + ih, left : left + iw] = img[
+                : max(0, sh - top), : max(0, sw - left)
+            ]
+            return canvas
+    except IndexError:
+        return None
+    return None
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int):
+    """GIF-flavor LZW: LSB-first bit packing, CLEAR resets the dictionary,
+    code width grows when the dictionary fills its width (cap 12 bits)."""
+    import numpy as np
+
+    if not (2 <= min_code <= 11):
+        return None
+    clear = 1 << min_code
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.int64)
+    filled = 0
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, clear + 2, min_code + 1
+
+    table, next_code, width = reset()
+    prev: tuple | None = None
+    while filled < n_pixels:
+        if bitpos + width > nbits:
+            return None
+        # LSB-first read
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table, next_code, width = reset()
+            prev = None
+            continue
+        if code == end:
+            return None  # ended before n_pixels decoded
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            return None
+        take = min(len(entry), n_pixels - filled)
+        out[filled : filled + take] = entry[:take]
+        filled += take
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
 def decode_pixels(payload: bytes):
     """REAL pixel decode (pure stdlib + numpy), no codec library: 24-bit
     uncompressed BMP, binary PGM/PPM, 8-bit non-interlaced PNG (zlib
-    inflate + scanline unfilter) and baseline JPEG (Huffman + IDCT,
-    jpeg.decode_jpeg_pixels). Returns a (height, width, channels) uint8
-    array, or None outside those subsets (progressive JPEG, GIF pixels —
-    header-only there)."""
+    inflate + scanline unfilter), baseline JPEG (Huffman + IDCT,
+    jpeg.decode_jpeg_pixels) and GIF (LZW + interlace). Returns a
+    (height, width, channels) uint8 array, or None outside those subsets
+    (progressive JPEG falls back to real header dims)."""
     import numpy as np
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -209,6 +344,8 @@ def decode_pixels(payload: bytes):
         from .jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(payload)
 
     if len(payload) >= 54 and payload[:2] == b"BM":
         off = int.from_bytes(payload[10:14], "little")
@@ -382,11 +519,11 @@ def _decode_audio(payload: bytes) -> tuple[int, int, list[float]] | None:
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     """Decode tiering, most-real first:
 
-    1. BMP / PGM / PPM / PNG (8-bit non-interlaced) / baseline JPEG: REAL
-       pixels (decode_pixels) -> real width/height and real statistical
-       features (global + per-channel means, std, aspect).
-    2. GIF / progressive JPEG / exotic PNGs: REAL width/height (header
-       parse); pixel features there are a deterministic byte-derived fake
+    1. BMP / PGM / PPM / PNG (8-bit non-interlaced) / baseline JPEG / GIF:
+       REAL pixels (decode_pixels) -> real width/height and real
+       statistical features (global + per-channel means, std, aspect).
+    2. Progressive JPEG / exotic PNGs: REAL width/height (header parse);
+       pixel features there are a deterministic byte-derived fake
        (clearly not semantic).
     3. Unrecognized payloads: full fake iff USE_FAKE_DECODE, else raises.
     """

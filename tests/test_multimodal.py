@@ -403,3 +403,150 @@ def test_avi_mjpeg_frame_sampling(spark):
     assert means == [0.0, 0.0] or means == [0.0, 1.0] or means == [1.0, 1.0]
     # frames 0 and 2 sampled: black then black (v=0, 0) per the list above
     assert means == [0.0, 0.0]
+
+
+class _LZWPack:
+    """LSB-first LZW bit packer for the test-side GIF encoders."""
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def code(self, c, width):
+        self.acc |= c << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def done(self):
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _gif_bytes(w, h, palette, lzw_min, data, interlace=False, screen=None,
+               left=0, top=0):
+    sw, sh = screen or (w, h)
+    n = len(palette)
+    depth = max(1, (n - 1).bit_length())
+    pal = bytearray()
+    for rgb in palette:
+        pal += bytes(rgb)
+    pal += b"\x00" * (3 * ((1 << depth) - n))
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    out += pal
+    out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00])
+    out += bytes([lzw_min])
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _encode_gif(indices, palette, interlace=False, grow=False, screen=None,
+                left=0, top=0):
+    """Two conformant literal-only LZW encoders: grow=False emits CLEAR
+    before every literal (constant code width); grow=True emits one CLEAR
+    then literals while mirroring the decoder's dictionary growth so the
+    code width widens in sync — exercising the width-growth path."""
+    import numpy as np
+
+    idx = np.asarray(indices)
+    h, w = idx.shape
+    lzw_min = max(2, (len(palette) - 1).bit_length())
+    clear = 1 << lzw_min
+    end = clear + 1
+    pk = _LZWPack()
+    flat = idx.reshape(-1)
+    if not grow:
+        width = lzw_min + 1
+        for v in flat:
+            pk.code(clear, width)
+            pk.code(int(v), width)
+        pk.code(end, width)
+    else:
+        width = lzw_min + 1
+        next_code = clear + 2
+        pk.code(clear, width)
+        first = True
+        for v in flat:
+            pk.code(int(v), width)
+            if not first:
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            first = False
+        pk.code(end, width)
+    return _gif_bytes(w, h, palette, lzw_min, pk.done(), interlace, screen,
+                      left, top)
+
+
+PAL4 = [(10, 20, 30), (200, 0, 0), (0, 200, 0), (0, 0, 200)]
+
+
+def test_gif_decode_literal_and_growth_paths():
+    import numpy as np
+
+    from pmcanalysis_spark.multimodal import decode_gif_pixels
+
+    rng = np.random.RandomState(12)
+    idx = rng.randint(0, 4, size=(5, 7))
+    exp = np.array(PAL4, dtype=np.uint8)[idx]
+    for grow in (False, True):
+        got = decode_gif_pixels(_encode_gif(idx, PAL4, grow=grow))
+        assert got is not None and np.array_equal(got, exp), grow
+
+
+def test_gif_lzw_kwkwk_case():
+    """Hand-built true-LZW stream for indices [0,0,0,0] (min 2): codes
+    CLEAR, 0, 6, 0 — code 6 equals the next unassigned entry (KwKwK)."""
+    import numpy as np
+
+    from pmcanalysis_spark.multimodal import decode_gif_pixels
+
+    pk = _LZWPack()
+    for c in (4, 0, 6, 0, 5):
+        pk.code(c, 3)
+    payload = _gif_bytes(4, 1, PAL4, 2, pk.done())
+    got = decode_gif_pixels(payload)
+    exp = np.tile(np.array(PAL4[0], dtype=np.uint8), (1, 4, 1))
+    assert got is not None and np.array_equal(got, exp)
+
+
+def test_gif_interlaced_rows_reordered():
+    import numpy as np
+
+    from pmcanalysis_spark.multimodal import decode_gif_pixels
+
+    logical = np.array([[r % 4] * 4 for r in range(8)])
+    order = [0, 4, 2, 6, 1, 3, 5, 7]  # 4-pass storage order for ih=8
+    stored = logical[order]
+    got = decode_gif_pixels(_encode_gif(stored, PAL4, interlace=True))
+    exp = np.array(PAL4, dtype=np.uint8)[logical]
+    assert got is not None and np.array_equal(got, exp)
+
+
+def test_gif_frame_offset_on_canvas():
+    import numpy as np
+
+    from pmcanalysis_spark.multimodal import decode_gif_pixels, decode_pixels
+
+    idx = np.full((2, 2), 1)
+    payload = _encode_gif(idx, PAL4, screen=(4, 4), left=1, top=1)
+    got = decode_gif_pixels(payload)
+    assert got.shape == (4, 4, 3)
+    assert tuple(got[0, 0]) == PAL4[0]       # background = palette[0]
+    assert tuple(got[1, 1]) == PAL4[1]
+    assert tuple(got[2, 2]) == PAL4[1]
+    assert tuple(got[3, 3]) == PAL4[0]
+    # dispatch through the umbrella decoder
+    assert np.array_equal(decode_pixels(payload), got)
+    assert decode_gif_pixels(b"GIF89a\x00") is None
