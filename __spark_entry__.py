@@ -381,6 +381,18 @@ def q_dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs_parallel(spark, sf_dir), num_hashes=8, bands=4)
 
 
+def q_dd_text_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster collapse of the text near-dup scale path: confirmed pairs ->
+    connected components -> (doc_id, cluster_id = min doc of the component);
+    every doc gets a row (singletons map to themselves) — the canonical-id
+    assignment a dedup pipeline actually keeps."""
+    from pmcanalysis_spark.operators.dedup import neardup_text_clusters
+
+    return neardup_text_clusters(
+        _docs_parallel(spark, sf_dir), threshold=0.5, num_hashes=8, bands=4
+    )
+
+
 def q_dd_text_neardup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE text near-dup scale path end-to-end: MinHash-LSH candidates ->
     exact n-gram-Jaccard confirm on candidates only (the text twin of
@@ -1388,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash": q_dd_minhash,
         "dd_minhash_lsh_pairs": q_dd_minhash_lsh_pairs,
         "dd_text_neardup_scalable": q_dd_text_neardup_scalable,
+        "dd_text_neardup_clusters": q_dd_text_neardup_clusters,
         "dd_simhash": q_dd_simhash,
         "dd_embedding_neardup": q_dd_embedding_neardup,
         "dd_embedding_neardup_scalable": q_dd_embedding_neardup_scalable,
@@ -1755,6 +1768,74 @@ def oracle_sql() -> dict[str, str]:
           JOIN sizes sa ON sa.doc_id = a_id
           JOIN sizes sb ON sb.doc_id = b_id
           WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """,
+        "dd_text_neardup_clusters": """
+          WITH RECURSIVE sh_all AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+              SELECT doc_id,
+                array_to_string(toks[i : i + 2], ' ') AS shingle
+              FROM (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 2)) AS i
+                FROM documents
+              )
+              WHERE i + 2 <= len(toks)
+            )
+          ),
+          hashed AS (
+            SELECT doc_id,
+              CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+              CAST(concat('0x', substr(md5(shingle), 16, 15)) AS BIGINT) % (1::BIGINT << 57) AS h2
+            FROM sh_all
+          ),
+          sig AS (
+            SELECT doc_id, CAST(seed AS INT) AS hash_idx,
+                   MIN((h1 + seed * h2) % 2305843009213693951) AS mh
+            FROM hashed CROSS JOIN range(8) AS t(seed)
+            GROUP BY doc_id, seed
+          ),
+          banded AS (
+            SELECT doc_id, hash_idx // 2 AS band,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hash_idx) AS bucket
+            FROM sig GROUP BY doc_id, hash_idx // 2
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          ),
+          hot AS (
+            SELECT shingle FROM sh_all GROUP BY shingle
+            HAVING COUNT(*) * 2 > (SELECT COUNT(DISTINCT doc_id) FROM documents)
+          ),
+          sh AS (
+            SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+          ),
+          sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.a_id
+            JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+            GROUP BY 1, 2
+          ),
+          pairs AS (
+            SELECT a_id, b_id
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+          ),
+          sym AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION SELECT b_id, a_id FROM pairs
+          ),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+          )
+          SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
         """,
         "dd_text_neardup_scalable": """
           WITH sh_all AS (

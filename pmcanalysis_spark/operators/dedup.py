@@ -321,6 +321,36 @@ def neardup_text_scalable(
     )
 
 
+def neardup_text_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_shingle_df: int | str | None = "auto",
+) -> DataFrame:
+    """The full text-dedup endgame: LSH candidates -> exact-Jaccard confirm
+    (``neardup_text_scalable``) -> connected components -> one
+    (doc_id, cluster_id) row per document, cluster_id = min doc id of the
+    component (singletons map to themselves). This is the cluster-collapse
+    answer to quadratic pair output over near-dup cliques (PLANS.md): a
+    k-clone cluster costs k rows here, not k², and the canonical id is what
+    a training pipeline actually keeps."""
+    from ..canonicalize import connected_components
+
+    pairs = neardup_text_scalable(
+        docs, id_col, text_col, n, threshold, num_hashes, bands, max_shingle_df
+    )
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    verts = docs.select(F.col(id_col).alias("id")).distinct()
+    cc = connected_components(edges, vertices=verts)
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

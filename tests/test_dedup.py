@@ -277,3 +277,17 @@ def test_embedding_neardup_mega_bucket_chunked_identical(spark):
     capped = rows(32)
     assert capped == rows(None)
     assert len(capped) >= 200 * 199 // 2  # the planted clique is confirmed
+
+
+def test_text_neardup_clusters_collapse(spark):
+    """Cluster collapse: every doc gets exactly one row; exact dups share a
+    cluster labeled by the min doc id; unrelated docs stay singletons."""
+    from pmcanalysis_spark.operators.dedup import neardup_text_clusters
+
+    out = {r.doc_id: r.cluster_id
+           for r in neardup_text_clusters(
+               _docs(spark), threshold=0.5, num_hashes=8, bands=4
+           ).collect()}
+    assert len(out) == 4                    # one row per doc
+    assert out[1] == 1 and out[2] == 1      # identical docs collapse to min
+    assert out[4] == 4                      # unrelated doc is a singleton
