@@ -213,9 +213,9 @@ def decode_gif_pixels(payload: bytes):
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
-        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
-        if len(gct) < n:
+        if len(payload) < pos + 3 * n:  # truncated color table
             return None
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
         pos += 3 * n
     if sw <= 0 or sh <= 0:
         return None
@@ -241,6 +241,8 @@ def decode_gif_pixels(payload: bytes):
             ct = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
+                if len(payload) < pos + 3 * n:
+                    return None
                 ct = np.frombuffer(
                     payload[pos : pos + 3 * n], dtype=np.uint8
                 ).reshape(-1, 3)

@@ -185,3 +185,68 @@ def test_geomean_simm_scalar_reference(feature_rows):
         via_pow = math.pow(prod, 1.0 / len(nz))
         via_log = math.exp(sum(math.log(f) for f in nz) / len(nz))
         assert abs(via_pow - via_log) < 1e-9
+
+
+# --- codec roundtrip properties (r3: pure-numpy JPEG / pure-stdlib GIF) ----
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 3), st.integers(1, 3), st.integers(0, 2**32 - 1),
+)
+def test_jpeg_gray_roundtrip_property(bh, bw, seed):
+    """Any random gray image (1-3 blocks each way), encoded with q=1 by the
+    independent test encoder, decodes within 2 gray levels (DCT+rounding
+    error bound)."""
+    import numpy as np
+    from test_jpeg import Q1, encode_jpeg
+
+    from pmcanalysis_spark.jpeg import decode_jpeg_pixels
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(30, 226, size=(bh * 8, bw * 8)).astype(float)
+    got = decode_jpeg_pixels(encode_jpeg([px], [Q1], [(1, 1)]))
+    assert got is not None and got.shape == (bh * 8, bw * 8, 1)
+    assert np.max(np.abs(got[:, :, 0].astype(float) - px)) <= 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1),
+    st.booleans(),
+)
+def test_gif_roundtrip_property(w, h, seed, grow):
+    """Any random paletted image roundtrips the GIF LZW decoder EXACTLY
+    (lossless format), through both test encoders (constant-width and
+    width-growing)."""
+    import numpy as np
+    from test_multimodal import PAL4, _encode_gif
+
+    from pmcanalysis_spark.multimodal import decode_gif_pixels
+
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, 4, size=(h, w))
+    got = decode_gif_pixels(_encode_gif(idx, PAL4, grow=grow))
+    assert got is not None
+    assert np.array_equal(got, np.array(PAL4, dtype=np.uint8)[idx])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(max_size=400))
+def test_codecs_never_crash_on_garbage(payload):
+    """decode_pixels and the WAV/GIF/JPEG decoders must return None (never
+    raise) on arbitrary bytes — including bytes that START like a valid
+    magic number."""
+    from pmcanalysis_spark.jpeg import decode_jpeg_pixels
+    from pmcanalysis_spark.multimodal import (
+        decode_gif_pixels,
+        decode_pixels,
+        decode_wav_samples,
+    )
+
+    for prefix in (b"", b"\xff\xd8", b"GIF89a", b"\x89PNG\r\n\x1a\n",
+                   b"RIFF\x10\x00\x00\x00WAVE", b"BM", b"P5 "):
+        p = prefix + payload
+        decode_pixels(p)
+        decode_jpeg_pixels(p)
+        decode_gif_pixels(p)
+        decode_wav_samples(p)
