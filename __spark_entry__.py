@@ -491,6 +491,17 @@ def q_ts_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_docs_parallel(spark, sf_dir), n=3, k=20)
 
 
+def q_ts_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization-to-ids end-to-end: top-100 frequency vocabulary
+    (count desc, token asc; ids 1-based, 0 = OOV) then every document
+    encoded as its comma-joined id sequence in text order."""
+    from pmcanalysis_spark.operators.textstats import build_vocab, encode_docs
+
+    docs = _docs_parallel(spark, sf_dir)
+    vocab = build_vocab(docs, k=100)
+    return encode_docs(docs, vocab)
+
+
 def q_ts_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (training-data hygiene): deterministic emails/IPs/phones
     appended per doc (so both engines see PII-bearing text built by the
@@ -1411,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_repetition": q_ts_repetition,
         "ts_top_ngrams": q_ts_top_ngrams,
         "ts_pii_redact": q_ts_pii_redact,
+        "ts_vocab_encode": q_ts_vocab_encode,
         "sim_cosine_topk": q_sim_cosine_topk,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_join_agg": q_tpch_join_agg,
@@ -2261,6 +2273,29 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY user_id
             )
           ) WHERE rank <= 5
+        """,
+        "ts_vocab_encode": """
+          WITH toks AS (
+            SELECT doc_id, i AS pos, arr[i] AS token FROM (
+              SELECT doc_id, string_split(text, ' ') AS arr,
+                     unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+              FROM documents
+            )
+            WHERE arr[i] <> ''
+          ),
+          counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+          vocab AS (
+            SELECT token, token_id FROM (
+              SELECT token,
+                     CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS token_id
+              FROM counts
+            ) WHERE token_id <= 100
+          )
+          SELECT t.doc_id,
+                 string_agg(CAST(COALESCE(v.token_id, 0) AS VARCHAR), ','
+                            ORDER BY t.pos) AS ids
+          FROM toks t LEFT JOIN vocab v ON v.token = t.token
+          GROUP BY t.doc_id
         """,
         "ts_pii_redact": """
           WITH built AS (

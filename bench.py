@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "ts_repetition",
     "ts_top_ngrams",
     "ts_pii_redact",
+    "ts_vocab_encode",
+    "dd_text_neardup_clusters",
+    "mm_audio_features",
+    "mm_video_frames",
     "link_scores",
     "sim_cosine_topk",
     "kg_cutoff_auc",

@@ -231,3 +231,67 @@ def redact_pii(
     return docs.select(
         F.col(id_col).alias("doc_id"), red.alias("redacted"), *counts
     )
+
+
+def build_vocab(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 1000
+) -> DataFrame:
+    """Frequency vocabulary: the k most frequent tokens as (token, token_id,
+    n) with token_id = 1-based frequency rank (ties broken by token text;
+    id 0 is reserved for OOV). The tokenizer-table half of a training-data
+    pipeline.
+
+    Plan: explode -> groupBy(token) with map-side combine (shuffle carries
+    distinct tokens, not occurrences) -> orderBy+limit
+    (TakeOrderedAndProject per-partition heaps, never a global window over
+    the full vocabulary) -> rank window over the k survivors only."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    topk = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return topk.withColumn("token_id", F.row_number().over(w)).select(
+        "token", "token_id", "n"
+    )
+
+
+def encode_docs(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, ids): the document as its token-id sequence (text order,
+    OOV -> 0), ids emitted as a comma-joined string so cross-engine value
+    hashing is order-exact. The encode half of tokenization-to-ids.
+
+    Plan: posexplode -> ONE broadcast join against the (small) vocab ->
+    re-assemble per doc via sort_array over (pos, id) structs — order
+    restored deterministically after the shuffle, no window needed."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    joined = toks.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        F.coalesce(F.col("token_id"), F.lit(0)).alias("tid"),
+                    )
+                )
+            ).alias("seq")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                ",", F.transform(F.col("seq"), lambda s: s["tid"].cast("string"))
+            ).alias("ids"),
+        )
+    )

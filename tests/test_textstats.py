@@ -71,3 +71,24 @@ def test_redact_pii(spark):
     assert rows[3].n_phone == 2
     assert rows[4].redacted == "nothing sensitive here"
     assert (rows[4].n_email, rows[4].n_ipv4, rows[4].n_phone) == (0, 0, 0)
+
+
+def test_vocab_build_and_encode(spark):
+    from pmcanalysis_spark.operators.textstats import build_vocab, encode_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c a b"),
+            (2, "b c d"),
+            (3, "zzz a"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {r.token: (r.token_id, r.n) for r in build_vocab(docs, k=3).collect()}
+    # counts: a=4, b=3, c=2, d=1, zzz=1 -> top-3 with rank by (count, token)
+    assert vocab == {"a": (1, 4), "b": (2, 3), "c": (3, 2)}
+    enc = {r.doc_id: r.ids
+           for r in encode_docs(docs, build_vocab(docs, k=3)).collect()}
+    assert enc[1] == "1,2,1,3,1,2"
+    assert enc[2] == "2,3,0"      # d is OOV -> 0
+    assert enc[3] == "0,1"        # zzz OOV, order preserved
