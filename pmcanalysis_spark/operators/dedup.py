@@ -343,7 +343,14 @@ def neardup_text_clusters(
     pairs = neardup_text_scalable(
         docs, id_col, text_col, n, threshold, num_hashes, bands, max_shingle_df
     )
-    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    # connected_components drives several actions over the edges (size probe
+    # + collect/iterate); without a persist each one re-runs the whole
+    # candidates->confirm chain (measured 2.5x the standalone pairs wall).
+    # Confirmed pairs are tiny relative to the corpus, so caching them is
+    # exactly what a production run would materialize between stages.
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).persist()
     verts = docs.select(F.col(id_col).alias("id")).distinct()
     cc = connected_components(edges, vertices=verts)
     return cc.select(
