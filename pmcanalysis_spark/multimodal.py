@@ -476,6 +476,9 @@ def decode_wav_samples(payload: bytes):
     bits = int.from_bytes(fmt[14:16], "little")
     if channels < 1 or rate <= 0:
         return None
+    itemsize = bits // 8
+    if itemsize:  # truncate a ragged data chunk to whole samples
+        data = data[: len(data) - len(data) % itemsize]
     if audio_format == 1 and bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif audio_format == 1 and bits == 8:

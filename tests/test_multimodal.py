@@ -550,3 +550,20 @@ def test_gif_frame_offset_on_canvas():
     # dispatch through the umbrella decoder
     assert np.array_equal(decode_pixels(payload), got)
     assert decode_gif_pixels(b"GIF89a\x00") is None
+
+
+def test_wav_ragged_data_chunk_total():
+    """An odd-length 16-bit data chunk must decode (trailing ragged byte
+    dropped), never raise — this escaped the generic garbage property
+    because random bytes rarely form both fmt and data chunks."""
+    from pmcanalysis_spark.multimodal import decode_wav_samples
+
+    payload = bytearray(_tiny_wav(samples=[0.5, -0.5, 0.25]))
+    # append one ragged byte to the data chunk and patch both sizes
+    payload += b"\x7f"
+    data_off = payload.index(b"data")
+    old = int.from_bytes(payload[data_off + 4 : data_off + 8], "little")
+    payload[data_off + 4 : data_off + 8] = (old + 1).to_bytes(4, "little")
+    payload[4:8] = (len(payload) - 8).to_bytes(4, "little")
+    x, rate = decode_wav_samples(bytes(payload))
+    assert x.shape == (3, 1) and rate == 8000
