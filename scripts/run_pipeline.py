@@ -48,6 +48,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="incremental mode: drain new --input files (availableNow), "
                          "append doc_terms exactly-once, re-score triples over the "
                          "accumulator (empty drains resume)")
+    ap.add_argument("--neardup", action="store_true",
+                    help="also materialize the text near-dup cluster stage "
+                         "(MinHash-LSH candidates -> exact-Jaccard confirm -> "
+                         "connected components -> (url, cluster_id))")
+    ap.add_argument("--neardup-threshold", type=float, default=0.8)
     args = ap.parse_args(argv)
 
     import hashlib
@@ -155,22 +160,42 @@ def main(argv: list[str] | None = None) -> int:
     _, cres = materialize_stage(
         canon_triples, "triples_canonical", args.output, key_col="subj", fingerprint=stage_fp
     )
-    wall = time.perf_counter() - t0
-    print(
-        json.dumps(
-            {
-                "stage": res.stage,
-                "resumed": res.resumed,
-                "n_triples": res.row_count,
-                "n_entities": eres.row_count,
-                "n_canonical_triples": cres.row_count,
-                "n_partitions": res.n_partitions,
-                "wall_sec": round(wall, 2),
-                "triples_per_sec": round(res.row_count / wall, 2) if wall else None,
-                "path": res.path,
-            }
+    summary = {
+        "stage": res.stage,
+        "resumed": res.resumed,
+        "n_triples": res.row_count,
+        "n_entities": eres.row_count,
+        "n_canonical_triples": cres.row_count,
+        "n_partitions": res.n_partitions,
+    }
+
+    # optional dedup stage: cluster assignment over the corpus text,
+    # checkpointed like every other stage (its manifest resumes on rerun)
+    if args.neardup:
+        from pmcanalysis_spark.operators.dedup import neardup_text_clusters
+
+        if args.synthetic:
+            from pmcanalysis_spark.fixtures import bench_pages_df
+
+            pages = bench_pages_df(spark, args.synthetic)
+        else:
+            pages = spark.read.parquet(args.input)
+        clusters = neardup_text_clusters(
+            pages, id_col="url", text_col="text",
+            threshold=args.neardup_threshold,
         )
-    )
+        _, nres = materialize_stage(
+            clusters, "neardup_clusters", args.output, key_col="doc_id",
+            fingerprint=stage_fp + "|neardup",
+        )
+        summary["n_neardup_rows"] = nres.row_count
+        summary["neardup_resumed"] = nres.resumed
+
+    wall = time.perf_counter() - t0
+    summary["wall_sec"] = round(wall, 2)
+    summary["triples_per_sec"] = round(res.row_count / wall, 2) if wall else None
+    summary["path"] = res.path
+    print(json.dumps(summary))
     spark.stop()
     return 0
 

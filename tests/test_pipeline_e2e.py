@@ -86,3 +86,26 @@ def test_triples_match_oracle(spark, corpus, lexicon, use_hierarchy):
         assert (gr.nab, gr.na, gr.nb) == (er[8], er[9], er[10]), key
         for i, col in enumerate(["tscore", "zscore", "lmi", "npmi", "lgl"]):
             assert approx_equal(gr[col], er[3 + i]), (key, col, gr[col], er[3 + i])
+
+
+def test_run_pipeline_neardup_stage(tmp_path):
+    """--neardup materializes the cluster stage (one row per page; the
+    deterministic fixture corpus has no near-dups, so all singletons) and
+    resumes from its manifest on rerun."""
+    import json
+    import subprocess
+    import sys
+
+    outdir = str(tmp_path / "kgout_nd")
+    cmd = [
+        sys.executable, "scripts/run_pipeline.py",
+        "--synthetic", "200", "--output", outdir, "--cores", "4", "--neardup",
+    ]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["n_neardup_rows"] == 200 and not s1["neardup_resumed"]
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["n_neardup_rows"] == 200 and s2["neardup_resumed"]
