@@ -1392,14 +1392,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_doc_tags": q_kg_doc_tags,
         "kg_mention_totals": q_kg_mention_totals,
         "kg_serving_conjunction": q_kg_serving_conjunction,
-        "join_left_outer_coalesce": q_join_left_outer_coalesce,
+        # r4 rotation: the driver gates only the first 50 registry entries, so the
+        # seven queries that had never received a driver CORRECTNESS row
+        # (ev_topk_users, ts_pii_redact, ts_vocab_encode, mm_* x4) are rotated into
+        # the top 50 here; seven variants with 2+ green rounds on record
+        # (join_left_outer_coalesce, sample_systematic, limit_parity, f_iri_curie,
+        # kg_triples_named, lex_autocomplete, dd_embedding_neardup) move to the
+        # tail and stay covered by the local oracle replica (tests/test_entry.py).
+        # See COVERAGE.md "Driver-gate rotation" for the full table.
+        "ev_topk_users": q_ev_topk_users,
+        "ts_pii_redact": q_ts_pii_redact,
+        "ts_vocab_encode": q_ts_vocab_encode,
+        "mm_metadata": q_mm_metadata,
+        "mm_image_features": q_mm_image_features,
+        "mm_audio_features": q_mm_audio_features,
+        "mm_video_frames": q_mm_video_frames,
         "join_anti_gold": q_join_anti_gold,
-        "sample_systematic": q_sample_systematic,
-        "limit_parity": q_limit_parity,
-        "f_iri_curie": q_f_iri_curie,
         "kg_pair_counts_salted": q_kg_pair_counts_salted,
-        "kg_triples_named": q_kg_triples_named,
-        "lex_autocomplete": q_lex_autocomplete,
         "kg_term_canonical": q_kg_term_canonical,
         "kg_sent_occurrence": q_kg_sent_occurrence,
         "kg_sent_pairs": q_kg_sent_pairs,
@@ -1413,7 +1422,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_text_neardup_scalable": q_dd_text_neardup_scalable,
         "dd_text_neardup_clusters": q_dd_text_neardup_clusters,
         "dd_simhash": q_dd_simhash,
-        "dd_embedding_neardup": q_dd_embedding_neardup,
         "dd_embedding_neardup_scalable": q_dd_embedding_neardup_scalable,
         "ts_token_count": q_ts_token_count,
         "ts_quality": q_ts_quality,
@@ -1421,17 +1429,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_fingerprint": q_ts_fingerprint,
         "ts_repetition": q_ts_repetition,
         "ts_top_ngrams": q_ts_top_ngrams,
-        "ts_pii_redact": q_ts_pii_redact,
-        "ts_vocab_encode": q_ts_vocab_encode,
+        # --- position 51+ (driver-ungated this round; local oracle replica only) ---
         "sim_cosine_topk": q_sim_cosine_topk,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_join_agg": q_tpch_join_agg,
         "ev_daily_counts": q_ev_daily_counts,
-        "ev_topk_users": q_ev_topk_users,
-        "mm_metadata": q_mm_metadata,
-        "mm_image_features": q_mm_image_features,
-        "mm_audio_features": q_mm_audio_features,
-        "mm_video_frames": q_mm_video_frames,
+        "join_left_outer_coalesce": q_join_left_outer_coalesce,
+        "sample_systematic": q_sample_systematic,
+        "limit_parity": q_limit_parity,
+        "f_iri_curie": q_f_iri_curie,
+        "kg_triples_named": q_kg_triples_named,
+        "lex_autocomplete": q_lex_autocomplete,
+        "dd_embedding_neardup": q_dd_embedding_neardup,
     }
 
 
