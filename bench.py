@@ -66,6 +66,11 @@ def _run_queries(spark, sf_dir: str) -> dict[str, float]:
     qs["kg_mentions_docfreq"](spark, sf_dir).count()
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # operators that persist internal stages (text near-dup shingles,
+        # confirmed-pair edges) would otherwise hand a warm cache to the next
+        # query with the same logical subtree — each wall below must price
+        # the query's own materialization, not a neighbor's leftovers
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         n = qs[name](spark, sf_dir).count()
         out[name] = round(time.perf_counter() - t0, 3)

@@ -181,6 +181,7 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 16,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) — sig[i] = min over shingles of the i-th
     permutation hash. One shuffle (groupBy doc).
@@ -191,9 +192,13 @@ def minhash_signatures(
     and under 2^63 needs i*h2 < 2^63 - 2^60: safe for num_hashes <= 4 only…
     so h2 is reduced mod 2^57 first, keeping i*h2 < 2^61 for i < 16. All
     integer ops exist verbatim in DuckDB for the oracle.
+
+    ``shingles_df``: optional pre-computed (doc_id, shingle) table — pass a
+    persisted/materialized shingle stage to share one corpus scan across the
+    signature and confirm branches (see ``neardup_text_scalable``).
     """
     assert num_hashes <= 16, "affine-family derivation sized for <= 16 hashes"
-    sh = shingles(docs, id_col, text_col, n)
+    sh = shingles_df if shingles_df is not None else shingles(docs, id_col, text_col, n)
     md5 = F.md5(F.col("shingle"))
     h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
     h2 = F.pmod(F.conv(F.substring(md5, 16, 15), 16, 10).cast("long"),
@@ -217,13 +222,16 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates: split the signature into ``bands`` bands of
     num_hashes/bands rows; docs colliding on any full band are candidates.
     Returns distinct (a_id, b_id). Scale path for near-dedup: work is
-    proportional to bucket collisions, not doc pairs."""
+    proportional to bucket collisions, not doc pairs. ``shingles_df``:
+    optional pre-computed (doc_id, shingle) table (see
+    ``minhash_signatures``)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, shingles_df)
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -260,6 +268,8 @@ def neardup_text_scalable(
     num_hashes: int = 16,
     bands: int = 4,
     max_shingle_df: int | str | None = "auto",
+    materialize_shingles: bool = True,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Text near-dup pairs, MinHash-LSH candidates -> exact-Jaccard confirm.
 
@@ -286,17 +296,38 @@ def neardup_text_scalable(
     default) applies to the confirm's Jaccard space exactly as in
     ``ngram_jaccard_pairs`` so the two operators agree pairwise.
 
-    One deliberate trade: the shingle subtree is referenced by the minhash,
-    sizes, a-side and b-side branches, and Catalyst does not CSE across
-    branches — each branch re-runs the explode. At real corpus scale,
-    materialize the shingle table once between the candidate and confirm
-    stages (``lineage.materialize_stage`` exists for exactly this) instead
-    of letting four branches rescan the corpus.
+    The shingle subtree is referenced by SIX branches (minhash signatures,
+    the hot-shingle df count + anti-join base, sizes, a-side, b-side) and
+    Catalyst does not CSE across branches — unmaterialized, each branch
+    re-runs the tokenize+explode over the corpus. ``materialize_shingles``
+    (default True) persists the raw shingle stage and the hot-filtered
+    shingle stage so the whole operator tokenizes the corpus ONCE — exactly
+    what a production run would checkpoint between stages
+    (``lineage.materialize_stage`` is the durable-parquet equivalent for
+    multi-job pipelines; an in-operator persist is the single-job form).
+    The persisted stages are tiny relative to the corpus (distinct shingle
+    rows, MEMORY_AND_DISK so oversized partitions spill, never OOM) and are
+    released by Spark's LRU eviction; callers wanting explicit control can
+    pass ``shingles_df`` (a pre-materialized (doc_id, shingle) table, e.g.
+    from ``lineage.materialize_stage``) and ``materialize_shingles=False``.
+    Values are identical either way (persist changes execution, not
+    semantics) — oracle hashes prove it.
     """
-    cand = minhash_lsh_pairs(docs, id_col, text_col, n, num_hashes, bands)
-    sh = _drop_hot_shingles(
-        shingles(docs, id_col, text_col, n), docs, id_col, max_shingle_df
+    from pyspark.storagelevel import StorageLevel
+
+    sh_raw = (
+        shingles_df
+        if shingles_df is not None
+        else shingles(docs, id_col, text_col, n)
     )
+    if materialize_shingles and shingles_df is None:
+        sh_raw = sh_raw.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = minhash_lsh_pairs(
+        docs, id_col, text_col, n, num_hashes, bands, shingles_df=sh_raw
+    )
+    sh = _drop_hot_shingles(sh_raw, docs, id_col, max_shingle_df)
+    if materialize_shingles:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b_sh = sh.select(F.col("doc_id").alias("b_id"), "shingle")
@@ -330,6 +361,8 @@ def neardup_text_clusters(
     num_hashes: int = 16,
     bands: int = 4,
     max_shingle_df: int | str | None = "auto",
+    materialize_shingles: bool = True,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """The full text-dedup endgame: LSH candidates -> exact-Jaccard confirm
     (``neardup_text_scalable``) -> connected components -> one
@@ -341,7 +374,8 @@ def neardup_text_clusters(
     from ..canonicalize import connected_components
 
     pairs = neardup_text_scalable(
-        docs, id_col, text_col, n, threshold, num_hashes, bands, max_shingle_df
+        docs, id_col, text_col, n, threshold, num_hashes, bands, max_shingle_df,
+        materialize_shingles=materialize_shingles, shingles_df=shingles_df,
     )
     # connected_components drives several actions over the edges (size probe
     # + collect/iterate); without a persist each one re-runs the whole

@@ -291,3 +291,29 @@ def test_text_neardup_clusters_collapse(spark):
     assert len(out) == 4                    # one row per doc
     assert out[1] == 1 and out[2] == 1      # identical docs collapse to min
     assert out[4] == 4                      # unrelated doc is a singleton
+
+
+def test_text_neardup_materialize_identical(spark):
+    """materialize_shingles (default True, one corpus tokenize shared by all
+    six shingle branches) changes execution only: pairs and jaccards are
+    identical to the unmaterialized plan and to a caller-supplied
+    pre-computed shingles_df."""
+    from pmcanalysis_spark.operators.dedup import (
+        neardup_text_scalable,
+        shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def rows(**kw):
+        out = neardup_text_scalable(docs, threshold=0.5, num_hashes=8, bands=4, **kw)
+        return sorted((r.a_id, r.b_id, round(r.jaccard, 12)) for r in out.collect())
+
+    default = rows()
+    assert default == rows(materialize_shingles=False)
+    pre = shingles(docs, "doc_id", "text", 3).persist()
+    try:
+        assert default == rows(shingles_df=pre, materialize_shingles=False)
+    finally:
+        pre.unpersist()
+    assert len(default) > 0
