@@ -57,8 +57,12 @@ MEDIA_FEATURES = StructType(
     ]
 )
 
-# deterministic fake decode for tests; real pixel decode would go here
-USE_FAKE_DECODE = True
+# Whether UNRECOGNIZED payloads get deterministic byte-derived fake features
+# instead of raising. Default False: a production pipeline fed a format this
+# module can't decode (e.g. WebP) must fail loudly, not emit garbage
+# features. Tests that exercise the Spark plumbing with synthetic payloads
+# opt in per call via ``extract_media_features(..., use_fake_decode=True)``.
+USE_FAKE_DECODE = False
 
 _JPEG_SOF_MARKERS = frozenset(
     range(0xC0, 0xCF + 1)
@@ -521,7 +525,9 @@ def _decode_audio(payload: bytes) -> tuple[int, int, list[float]] | None:
     return n, ch, feats
 
 
-def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+def _decode_image(
+    payload: bytes, use_fake_decode: bool | None = None
+) -> tuple[int, int, list[float]]:
     """Decode tiering, most-real first:
 
     1. BMP / PGM / PPM / PNG (8-bit non-interlaced) / baseline JPEG / GIF:
@@ -530,7 +536,8 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     2. Progressive JPEG / exotic PNGs: REAL width/height (header parse);
        pixel features there are a deterministic byte-derived fake
        (clearly not semantic).
-    3. Unrecognized payloads: full fake iff USE_FAKE_DECODE, else raises.
+    3. Unrecognized payloads: full fake iff ``use_fake_decode`` (defaults to
+       the module's USE_FAKE_DECODE, i.e. False), else raises.
     """
     px = decode_pixels(payload)
     if px is not None:
@@ -555,7 +562,7 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     feats = [float((b % 17)) / 16.0 for b in payload[:8]]
     if dims is not None:
         return dims[0], dims[1], feats
-    if not USE_FAKE_DECODE:
+    if not (USE_FAKE_DECODE if use_fake_decode is None else use_fake_decode):
         raise NotImplementedError("pixel decode requires a codec library")
     hsh = sum(payload[:16]) if payload else 0
     width, height = 16 + hsh % 64, 16 + (hsh // 64) % 64
@@ -591,14 +598,16 @@ def _avi_mjpeg_frames(payload: bytes) -> list[bytes] | None:
     return frames or None
 
 
-def _sample_frames(payload: bytes, every: int) -> list[bytes]:
+def _sample_frames(
+    payload: bytes, every: int, use_fake_decode: bool | None = None
+) -> list[bytes]:
     """Frame sampler: REAL for Motion-JPEG AVI (every ``every``-th frame of
     the RIFF walk above); other containers (MP4/H.264...) genuinely need
     ffmpeg and remain the one STUB in this module."""
     real = _avi_mjpeg_frames(payload)
     if real is not None:
         return real[:: max(every, 1)]
-    if not USE_FAKE_DECODE:
+    if not (USE_FAKE_DECODE if use_fake_decode is None else use_fake_decode):
         raise NotImplementedError(
             "non-MJPEG-AVI video frame sampling requires ffmpeg"
         )
@@ -616,13 +625,32 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
-def extract_media_features(media: DataFrame, frame_every: int = 10) -> DataFrame:
+def extract_media_features(
+    media: DataFrame,
+    frame_every: int = 10,
+    decoder=None,
+    use_fake_decode: bool | None = None,
+) -> DataFrame:
     """Decode / feature-extract / frame-sample as one Arrow-batched pass.
 
     Images yield one row (frame_idx=0); videos yield one row per sampled
     frame (UDTF shape). Batch memory is bounded by Arrow batch size x max
     payload — set spark.sql.execution.arrow.maxRecordsPerBatch down for
     large media.
+
+    ``decoder``: optional pluggable codec hook for production deployments
+    with real codec libraries (libjpeg-turbo, ffmpeg, ...). Called FIRST for
+    every row as ``decoder(kind, payload, frame_every)`` inside the Arrow
+    worker (must be picklable; payload is ``bytes``). Return a list of
+    ``(frame_idx, width, height, features)`` tuples to take the row, or
+    ``None`` to fall through to the built-in pure-Python tier — so a
+    deployment can route e.g. only JPEG/MP4 through the fast codec while
+    everything else keeps the codec-free default. Schema and batch shape are
+    identical on both paths (tested).
+
+    ``use_fake_decode``: per-call override of the module's USE_FAKE_DECODE
+    (default False — unrecognized payloads raise rather than silently
+    yielding byte-derived fake features).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -630,6 +658,16 @@ def extract_media_features(media: DataFrame, frame_every: int = 10) -> DataFrame
             out = {k: [] for k in ("media_id", "frame_idx", "width", "height", "features")}
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
+                if decoder is not None:
+                    rows = decoder(kind, payload, frame_every)
+                    if rows is not None:
+                        for fi, w, h, feats in rows:
+                            out["media_id"].append(mid)
+                            out["frame_idx"].append(fi)
+                            out["width"].append(w)
+                            out["height"].append(h)
+                            out["features"].append(feats)
+                        continue
                 if kind == "audio":
                     a = _decode_audio(payload)
                     if a is not None:
@@ -643,11 +681,11 @@ def extract_media_features(media: DataFrame, frame_every: int = 10) -> DataFrame
                         out["features"].append(feats)
                         continue
                 if kind == "video":
-                    frames = _sample_frames(payload, frame_every)
+                    frames = _sample_frames(payload, frame_every, use_fake_decode)
                 else:
                     frames = [payload]
                 for fi, frame in enumerate(frames):
-                    w, h, feats = _decode_image(frame)
+                    w, h, feats = _decode_image(frame, use_fake_decode)
                     out["media_id"].append(mid)
                     out["frame_idx"].append(fi)
                     out["width"].append(w)

@@ -29,7 +29,9 @@ def test_metadata_never_touches_payload(spark, tmp_path):
 
 
 def test_feature_extraction_batch_shape(spark):
-    out = extract_media_features(_media(spark)).collect()
+    # synthetic unrecognized payloads exercise the batch plumbing — fakes
+    # are an explicit per-call opt-in since r4 (module default raises)
+    out = extract_media_features(_media(spark), use_fake_decode=True).collect()
     by_id = {}
     for r in out:
         by_id.setdefault(r.media_id, []).append(r)
@@ -41,9 +43,48 @@ def test_feature_extraction_batch_shape(spark):
 
 
 def test_fake_decode_is_deterministic(spark):
-    a = sorted(map(str, extract_media_features(_media(spark)).collect()))
-    b = sorted(map(str, extract_media_features(_media(spark)).collect()))
+    a = sorted(map(str, extract_media_features(_media(spark), use_fake_decode=True).collect()))
+    b = sorted(map(str, extract_media_features(_media(spark), use_fake_decode=True).collect()))
     assert a == b
+
+
+def test_unrecognized_payload_raises_by_default(spark):
+    """Module default (USE_FAKE_DECODE=False): a payload no decoder
+    recognizes must fail the job loudly, not emit byte-derived garbage
+    features — a production pipeline fed WebP should find out."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        extract_media_features(_media(spark)).collect()
+
+
+def test_decoder_hook_fast_codec(spark):
+    """The pluggable decoder= hook: a 'fast codec' takes the rows it claims
+    (same MEDIA_FEATURES schema/batch shape), returns None to fall through
+    to the built-in tier for the rest."""
+    from pmcanalysis_spark.multimodal import MEDIA
+
+    def fast_codec(kind, payload, frame_every):
+        if kind == "video":  # pretend ffmpeg handled it: 2 sampled frames
+            return [(0, 320, 240, [0.5] * 8), (1, 320, 240, [0.25] * 8)]
+        return None  # images fall through to the pure-Python tier
+
+    rows = [
+        ("v1", "video", "video/mp4", 4096, bytearray(b"\x03" * 4096)),
+        ("i1", "image", "image/x-portable-graymap", 20,
+         bytearray(b"P5 2 2 255 " + bytes([0, 64, 128, 255]))),
+    ]
+    df = spark.createDataFrame(rows, MEDIA)
+    out = extract_media_features(df, decoder=fast_codec)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "frame_idx", "width", "height", "features"
+    ]
+    got = {(r.media_id, r.frame_idx): (r.width, r.height) for r in out.collect()}
+    # hook rows carried through; the MP4 did NOT raise because the hook took it
+    assert got[("v1", 0)] == (320, 240) and got[("v1", 1)] == (320, 240)
+    # fall-through row decoded by the REAL PGM tier
+    assert got[("i1", 0)] == (2, 2)
 
 
 def _tiny_png(w, h):
