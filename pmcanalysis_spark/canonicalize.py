@@ -173,6 +173,7 @@ def connected_components(
     max_iter: int = 50,
     checkpoint_every: int = 5,
     driver_threshold: int = 100_000,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (id, component) by iterative min-label propagation
     with pointer-doubling compression.
@@ -193,14 +194,28 @@ def connected_components(
     vertices label themselves via coalesce without ever being collected.
     Saves ~2 jobs per iteration x O(diameter) iterations; at real scale the
     iterative path runs. Results identical (both are min-id components).
+
+    The operator drives several actions over the edges (size probe, then the
+    collect or the iterative joins), so the edge projection is persisted
+    internally — the upstream that produced the edges executes ONCE, however
+    expensive (a caller handing the confirmed-pair output of a whole
+    candidates->confirm chain must not pay that chain per action). Callers
+    that already know the edge count can pass ``n_edges`` to skip the probe
+    entirely; the persisted projection is narrow (two id columns) and is
+    released by LRU eviction.
     """
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e = edges.select("src", "dst")
+    if n_edges is None:
+        from pyspark.storagelevel import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        n_edges = e.count()
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     if vertices is None:
         vertices = sym.select(F.col("src").alias("id")).distinct()
 
-    n_edges = edges.count()
     if n_edges <= driver_threshold:
         parent: dict = {}
 
@@ -210,7 +225,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in edges.select("src", "dst").distinct().collect():
+        for r in e.distinct().collect():
             a, b = r["src"], r["dst"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)

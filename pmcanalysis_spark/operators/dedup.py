@@ -378,13 +378,10 @@ def neardup_text_clusters(
         materialize_shingles=materialize_shingles, shingles_df=shingles_df,
     )
     # connected_components drives several actions over the edges (size probe
-    # + collect/iterate); without a persist each one re-runs the whole
-    # candidates->confirm chain (measured 2.5x the standalone pairs wall).
-    # Confirmed pairs are tiny relative to the corpus, so caching them is
-    # exactly what a production run would materialize between stages.
-    edges = pairs.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
-    ).persist()
+    # + collect/iterate) and persists its edge projection internally (r4), so
+    # the candidates->confirm chain executes once — the r3 caller-side
+    # persist (which fixed a measured 2.5x re-run) is now redundant.
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     verts = docs.select(F.col(id_col).alias("id")).distinct()
     cc = connected_components(edges, vertices=verts)
     return cc.select(
