@@ -1,7 +1,9 @@
-"""Stateful streaming near-dup candidates (the streaming twin of
-``dedup.minhash_lsh_pairs`` / the candidate half of ``neardup_text_scalable``):
-dedup a continuous crawl against everything already seen without re-reading
-the corpus.
+"""Stateful streaming near-dup detection (the streaming twin of
+``dedup.minhash_lsh_pairs`` / ``neardup_text_scalable``): dedup a continuous
+crawl against everything already seen without re-reading the corpus. Ends at
+CONFIRMED pairs (``streaming_neardup_confirmed``, r4) like the batch path;
+``streaming_neardup_candidates`` remains for pipelines that confirm
+elsewhere.
 
 Two stages, both scale-shaped:
 
@@ -37,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -55,6 +59,26 @@ CANDIDATES = StructType(
 
 _STATE = StructType([StructField("members", ArrayType(StringType()), True)])
 
+CONFIRMED = StructType(
+    [
+        StructField("a_id", StringType(), False),
+        StructField("b_id", StringType(), False),
+        StructField("jaccard", DoubleType(), False),
+        StructField("band", IntegerType(), False),
+    ]
+)
+
+_CONFIRM_STATE = StructType(
+    [
+        StructField("members", ArrayType(StringType()), True),
+        # one packed uint64 little-endian blob per member: the doc's distinct
+        # shingle-hash set (8 bytes/shingle — the compact store the confirm
+        # joins against, kept inside the state backend instead of a side
+        # parquet table)
+        StructField("shingle_sets", ArrayType(BinaryType()), True),
+    ]
+)
+
 
 def row_minhash_bands(
     df: DataFrame,
@@ -63,6 +87,7 @@ def row_minhash_bands(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    include_shingles: bool = False,
 ) -> DataFrame:
     """(doc_id, band, bucket) rows with the signature computed per-row:
     same shingles (distinct word n-grams), same md5-derived affine family
@@ -70,7 +95,9 @@ def row_minhash_bands(
     ``minhash_lsh_pairs``, but with the groupBy(doc) replaced by
     array_min over the in-row shingle array — narrow, stream-safe.
     Docs with no full shingle (shorter than n tokens) emit nothing,
-    matching the batch operator."""
+    matching the batch operator. ``include_shingles`` adds a ``shingles``
+    column (sorted distinct 60-bit shingle hashes) for the downstream
+    exact-Jaccard confirm."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     toks = F.split(F.col(text_col), " ")
@@ -122,6 +149,15 @@ def row_minhash_bands(
             for b in range(bands)
         ]
     )
+    if include_shingles:
+        sh = F.array_sort(
+            F.array_distinct(F.transform(F.col("_hs"), lambda s: s["h1"]))
+        )
+        return d.select(
+            "doc_id",
+            sh.alias("shingles"),
+            F.posexplode(buckets).alias("band", "bucket"),
+        )
     return d.select(
         "doc_id", F.posexplode(buckets).alias("band", "bucket")
     )
@@ -179,6 +215,116 @@ def streaming_neardup_candidates(
         pairs,
         outputStructType=CANDIDATES,
         stateStructType=_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_neardup_confirmed(
+    pages_stream: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket_members: int = 256,
+) -> DataFrame:
+    """pages stream -> CONFIRMED near-dup pairs (a_id, b_id, jaccard, band):
+    the streaming path now ends where the batch twin
+    (``dedup.neardup_text_scalable``) ends, not at raw candidates.
+
+    The exact-Jaccard confirm happens AT candidate time inside the same
+    stateful stage: bucket state keeps, per member, the doc's distinct
+    shingle-hash set (packed uint64 blob, 8 bytes/shingle — the "maintained
+    shingle store" lives in the state backend, partitioned with the bucket
+    key, instead of a side table a foreachBatch would have to re-read and
+    race against). A new arrival carries its own shingle set in-row
+    (``include_shingles``), intersects against each member, and emits only
+    pairs with jaccard >= threshold. Set sizes use 60-bit md5-prefix hashes
+    rather than shingle strings, so a within-doc hash collision could in
+    principle shrink a set by one — at 2^-60 per shingle pair this is
+    noise-proof in practice, and the batch-parity test holds exactly.
+
+    Same mega-bucket cap semantics as the candidate stage: members beyond
+    ``max_bucket_members`` still confirm against the stored members but stop
+    growing the state. A pair colliding in several bands is emitted once per
+    band with the identical jaccard — downstream dedup is a trivial
+    drop-duplicates on (a_id, b_id).
+
+    Batch parity (tested): distinct confirmed pairs over any micro-batch
+    split == ``neardup_text_scalable(union_corpus, max_shingle_df=None)``
+    with the same n/num_hashes/bands/threshold. (The batch default's
+    corpus-wide hot-shingle bound is a batch-only statistic — a stream
+    cannot know a future document frequency; strip known boilerplate
+    upstream instead.)
+    """
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    banded = row_minhash_bands(
+        pages_stream, id_col, text_col, n, num_hashes, bands,
+        include_shingles=True,
+    )
+
+    def confirm(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        band = int(key[0])
+        if state.exists:
+            members = list(state.get[0])
+            blobs = list(state.get[1])
+        else:
+            members, blobs = [], []
+        sets = {
+            m: frozenset(np.frombuffer(b, dtype="<u8").tolist())
+            for m, b in zip(members, blobs)
+        }
+        known = set(members)
+        out_a: list[str] = []
+        out_b: list[str] = []
+        out_j: list[float] = []
+        incoming: dict[str, frozenset] = {}
+        for pdf in pdfs:
+            for d, sh in zip(pdf["doc_id"], pdf["shingles"]):
+                if d not in incoming:
+                    incoming[d] = frozenset(int(x) for x in sh)
+        for d in sorted(incoming):
+            if d in known:
+                continue  # re-crawl of an already-registered doc
+            sd = incoming[d]
+            for m in members:
+                sm = sets[m]
+                n_inter = len(sd & sm)
+                union = len(sd) + len(sm) - n_inter
+                jac = n_inter / union if union else 0.0
+                if jac >= threshold:
+                    lo, hi = (d, m) if d < m else (m, d)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_j.append(jac)
+            if len(members) < max_bucket_members:
+                members.append(d)
+                sets[d] = sd
+                blobs.append(
+                    np.asarray(sorted(sd), dtype="<u8").tobytes()
+                )
+                known.add(d)
+        state.update((members, blobs))
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "a_id": pd.Series(out_a, dtype="object"),
+                    "b_id": pd.Series(out_b, dtype="object"),
+                    "jaccard": pd.Series(out_j, dtype="float64"),
+                    "band": pd.Series([band] * len(out_a), dtype="int32"),
+                }
+            )
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        confirm,
+        outputStructType=CONFIRMED,
+        stateStructType=_CONFIRM_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

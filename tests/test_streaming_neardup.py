@@ -123,3 +123,60 @@ def test_streaming_candidates_bucket_cap(spark, tmp_path):
         ("u1", "u3"), ("u2", "u3"),
         ("u1", "u4"), ("u2", "u4"),
     }
+
+
+def test_streaming_confirmed_matches_batch_scalable(spark, tmp_path):
+    """The streaming path now ends at CONFIRMED pairs: distinct streaming
+    (a_id, b_id, jaccard) over micro-batches == batch neardup_text_scalable
+    on the union corpus (max_shingle_df=None — the corpus-wide hot-shingle
+    bound is a batch-only statistic), cross-batch pairs included."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.dedup import neardup_text_scalable
+    from pmcanalysis_spark.streaming.neardup_stream import (
+        streaming_neardup_confirmed,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("url"), "text")
+    )
+    parts = docs.collect()
+    src = str(tmp_path / "in3")
+    schema = "url string, text string"
+    third = max(1, len(parts) // 3)
+    for b, lo in enumerate(range(0, len(parts), third)):
+        spark.createDataFrame(parts[lo:lo + third], schema).coalesce(1).write.parquet(
+            f"{src}/b={b}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    q = (
+        streaming_neardup_confirmed(
+            stream, id_col="url", text_col="text",
+            n=3, num_hashes=8, bands=4, threshold=0.5,
+        )
+        .writeStream.format("memory")
+        .queryName("nd_conf")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 9))
+        for r in spark.sql("select * from nd_conf").collect()
+    }
+    exp = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 9))
+        for r in neardup_text_scalable(
+            docs, id_col="url", text_col="text",
+            n=3, threshold=0.5, num_hashes=8, bands=4, max_shingle_df=None,
+        ).collect()
+    }
+    assert len(exp) > 0
+    assert got == exp
