@@ -78,6 +78,51 @@ def _run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _author_skew_probe(spark) -> float:
+    """Author canonicalization under a planted mega-key: one 'j smith'
+    author_key with 10k records next to 2000 well-behaved 5-record keys.
+    Uncapped, the mega-key alone would be ~50M within-group pair scores;
+    max_group_size=1000 drops it from pairing (its docs become singletons
+    via the CC vertex set) so the wall prices the real keys — proving the
+    skew guard holds wall-time, not just pytest-scale semantics. Returns
+    the wall; asserts the expected output shape so a silently-broken cap
+    can't post a fast-but-wrong number."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.canonicalize import canonicalize_authors
+
+    mega = spark.range(10_000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("doc_id"),
+        F.lit("j smith").alias("author_key"),
+        F.array(F.concat(F.lit("co"), F.pmod("id", F.lit(7)))).alias("coauthors"),
+        F.array(F.lit("oncology"), F.concat(F.lit("mesh"), F.pmod("id", F.lit(5)))).alias("mesh"),
+        F.split(F.lit("deep sequencing of tumor samples"), " ").alias("title_tokens"),
+        F.split(F.concat(F.lit("dept "), F.pmod("id", F.lit(3))), " ").alias("affiliation_tokens"),
+    )
+    normal = spark.range(10_000).select(
+        F.concat(F.lit("n"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("author_"), (F.col("id") / 5).cast("long")).alias("author_key"),
+        F.array(F.concat(F.lit("co"), (F.col("id") / 5).cast("long"))).alias("coauthors"),
+        F.array(F.concat(F.lit("mesh"), (F.col("id") / 5).cast("long"))).alias("mesh"),
+        F.split(F.lit("a perfectly ordinary paper title"), " ").alias("title_tokens"),
+        F.split(F.lit("small lab"), " ").alias("affiliation_tokens"),
+    )
+    records = mega.unionByName(normal).repartition(64)
+    t0 = time.perf_counter()
+    out = canonicalize_authors(records, max_group_size=1000)
+    agg = out.groupBy("author_key").agg(
+        F.countDistinct("entity_id").alias("n_entities"),
+        F.count("*").alias("n_docs"),
+    )
+    rows = {r["author_key"]: (r["n_entities"], r["n_docs"]) for r in agg.collect()}
+    wall = time.perf_counter() - t0
+    # mega key dropped from pairing -> every doc its own entity
+    assert rows["j smith"] == (10_000, 10_000)
+    # each 5-record key shares identical features -> one entity
+    assert rows["author_0"] == (1, 5) and len(rows) == 2001
+    return wall
+
+
 def _prewarm(spark) -> None:
     """Pay one-time costs (python worker fork + pandas/pyarrow imports, JVM
     codegen) outside the timed window — steady-state throughput is the
@@ -198,6 +243,8 @@ def main() -> None:
 
     spark = get_spark(app_name="bench-queries", cores=cores_hi)
     queries = _run_queries(spark, sf_dir)
+    spark.catalog.clearCache()
+    queries["cz_author_skew"] = round(_author_skew_probe(spark), 3)
     spark.stop()
 
     spp = int(os.environ.get("SPARK_GRAFT_BENCH_SPP", "120"))
