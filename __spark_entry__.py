@@ -1360,6 +1360,102 @@ def q_kg_obo_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.groupBy("term_id").agg(F.countDistinct("doc_id").alias("df"))
 
 
+def q_ts_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing manifest (r4): documents laid end to end in doc-id
+    order, cut every 64 tokens -> (chunk_id, n_docs, n_tokens). The Spark
+    side runs the two-phase (per-partition offsets) global cumsum; the
+    oracle runs DuckDB's ordered window — identical manifests prove the
+    distributed offset scheme."""
+    from pmcanalysis_spark.operators.textstats import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=64)
+
+
+def q_ts_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-stratified downsampling (r4): keep en at 50%,
+    de at 25%, zh fully; fr/es fall to default_rate=0. The keep rule is the
+    portable md5 bucket, recomputed verbatim by the oracle."""
+    from pmcanalysis_spark.operators.textstats import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        rates={"en": 0.5, "de": 0.25, "zh": 1.0},
+        strata_col="lang",
+        seed=7,
+    )
+
+
+def q_dd_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalize + dedup (r4): synthetic crawl URLs built per doc by
+    a shared rule — mixed-case scheme/host, default :443 port, tracking
+    query, fragment, and a path shared by doc pairs (doc_id // 2) — then
+    url_dedup's regexp canonicalization + groupBy. The oracle recomputes
+    the canonical form from the construction rule (regex goldens live in
+    tests/test_dedup.py), so a canonicalization bug breaks the hash."""
+    from pmcanalysis_spark.operators.dedup import url_dedup
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.upper("source"),
+            F.lit(".Example.com:443/doc/"),
+            F.floor(F.col("doc_id") / 2).cast("string"),
+            F.lit("/?utm_source=feed&page="),
+            F.col("doc_id").cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return url_dedup(pages)
+
+
+def q_link_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 term-document relevance over the standard lexicon (r4):
+    (doc_id, term_id, tf, bm25) — Lucene's default ranking function as one
+    DataFrame DAG (tf/df/dl aggregates + two broadcast 1-row stats)."""
+    from pmcanalysis_spark.linking import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), LEX, k1=1.2, b=0.75)
+
+
+def _term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-occurring term pairs (a < b, no prefix split) — the
+    undirected KG edge table the graph stats run on."""
+    m = _mentions(spark, sf_dir)
+    a = m.select("doc_id", F.col("term_id").alias("a"))
+    b = m.select("doc_id", F.col("term_id").alias("b"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality of the co-occurrence KG (r4): distinct-neighbor
+    count per term — the hub-entity report a KG consumer asks for first."""
+    from pmcanalysis_spark.operators.graph import degree_centrality
+
+    e = _term_pairs(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    return degree_centrality(e).select(
+        F.col("id").alias("term_id"), "degree"
+    )
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-occurrence KG (r4): oriented-wedge join,
+    each triangle counted exactly once."""
+    from pmcanalysis_spark.operators.graph import triangle_count
+
+    e = _term_pairs(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    return triangle_count(e)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1441,6 +1537,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_named": q_kg_triples_named,
         "lex_autocomplete": q_lex_autocomplete,
         "dd_embedding_neardup": q_dd_embedding_neardup,
+        # --- new in r4 (enter the driver gate on a future rotation) ---
+        "ts_pack_sequences": q_ts_pack_sequences,
+        "ts_stratified_sample": q_ts_stratified_sample,
+        "dd_url_dedup": q_dd_url_dedup,
+        "link_bm25": q_link_bm25,
+        "kg_degree": q_kg_degree,
+        "kg_triangles": q_kg_triangles,
     }
 
 
@@ -2374,6 +2477,107 @@ def oracle_sql() -> dict[str, str]:
                    unnest(range(doc_id % 3 + 1)) AS i
             FROM documents
           )
+        """,
+        # the oracle's single-window ordered cumsum vs Spark's two-phase
+        # per-partition offsets: identical manifests prove the offset scheme
+        "ts_pack_sequences": """
+          WITH d AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+            FROM documents
+          ),
+          c AS (
+            SELECT doc_id, n_tok,
+                   SUM(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+            FROM d WHERE n_tok > 0
+          ),
+          x AS (
+            -- SUM() OVER on BIGINT widens to HUGEINT in DuckDB; narrow back
+            SELECT doc_id, CAST(e - n_tok AS BIGINT) AS s, CAST(e AS BIGINT) AS e
+            FROM c
+          ),
+          ch AS (
+            SELECT s, e, unnest(generate_series(s // 64, (e - 1) // 64)) AS chunk_id
+            FROM x
+          )
+          SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(LEAST(e, (chunk_id + 1) * 64)
+                          - GREATEST(s, chunk_id * 64)) AS BIGINT) AS n_tokens
+          FROM ch GROUP BY chunk_id
+        """,
+        # the keep rule recomputed verbatim: md5 bucket < rate * 1e6
+        "ts_stratified_sample": """
+          WITH rates(lang, keep_lt) AS (
+            VALUES ('en', 500000), ('de', 250000), ('zh', 1000000)
+          ),
+          b AS (
+            SELECT doc_id, lang,
+              CAST(concat('0x', substr(md5(concat('7', '|',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bucket
+            FROM documents
+          )
+          SELECT b.doc_id, b.lang AS stratum, b.bucket
+          FROM b JOIN rates USING (lang)
+          WHERE b.bucket < rates.keep_lt
+        """,
+        # oracle recomputes the canonical form from the construction rule —
+        # a canonicalization bug on the Spark side breaks the value hash
+        "dd_url_dedup": """
+          SELECT concat('https://www.', lower(source), '.example.com/doc/',
+                        CAST(doc_id // 2 AS VARCHAR)) AS canonical_url,
+                 MIN(doc_id) AS canonical_id,
+                 COUNT(*) AS n_dups
+          FROM documents GROUP BY 1
+        """,
+        "link_bm25": f"""
+          WITH lex(name, term_id) AS (VALUES {_lex_values()}),
+          t2 AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+          ),
+          toks AS (SELECT * FROM t2 WHERE tok <> ''),
+          dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+          stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+          hits AS (
+            SELECT toks.doc_id, lex.term_id FROM toks JOIN lex ON lex.name = toks.tok
+          ),
+          tf AS (SELECT doc_id, term_id, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+          dfx AS (
+            SELECT term_id, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, term_id FROM hits) GROUP BY 1
+          )
+          SELECT tf.doc_id, tf.term_id, tf.tf,
+                 ROUND(ln(1 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+                       6) AS bm25
+          FROM tf JOIN dfx USING (term_id) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+        """,
+        "kg_degree": _MENTIONS_SQL + """,
+          pairs AS (
+            SELECT DISTINCT a.term_id AS a, b.term_id AS b
+            FROM mentions a JOIN mentions b
+              ON a.doc_id = b.doc_id AND a.term_id < b.term_id
+          ),
+          sym AS (
+            SELECT a AS id, b AS nbr FROM pairs
+            UNION
+            SELECT b AS id, a AS nbr FROM pairs
+          )
+          SELECT id AS term_id, COUNT(*) AS degree FROM sym GROUP BY 1
+        """,
+        "kg_triangles": _MENTIONS_SQL + """,
+          pairs AS (
+            SELECT DISTINCT a.term_id AS a, b.term_id AS b
+            FROM mentions a JOIN mentions b
+              ON a.doc_id = b.doc_id AND a.term_id < b.term_id
+          )
+          SELECT COUNT(*) AS n_triangles
+          FROM pairs ab
+          JOIN pairs bc ON ab.b = bc.a
+          JOIN pairs ac ON ac.a = ab.a AND ac.b = bc.b
         """,
     }
 

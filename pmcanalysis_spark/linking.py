@@ -140,3 +140,64 @@ def link_mentions(
     return mentions_with_context.select(
         "url", "sent_idx", "name", "sentence"
     ).mapInPandas(score, schema=LINKED_MENTIONS)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    lexicon: list[tuple[str, str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every dictionary term to every document containing
+    it: (doc_id, term_id, tf, bm25) — the ranking function a serving layer
+    actually sorts by (Lucene's default since 6.0), complementing the
+    tf-idf-cosine linker above.
+
+    bm25 = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with the
+    Robertson-Sparck-Jones idf = ln(1 + (N - df + 0.5)/(df + 0.5)); dl is
+    the document's token count, avgdl the corpus mean. All Column algebra:
+    one explode -> broadcast lexicon join -> (doc, term) count for tf, a
+    (term) count for df, a per-doc count for dl, and two 1-row aggregates
+    (N, avgdl) broadcast-cross-joined — every shuffle keys on doc or term
+    (uniform), nothing Python-side. bm25 is ROUND(6) for cross-engine
+    comparability (CLAUDE.md float recipe).
+    """
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    lex = spark.createDataFrame(lexicon, "name string, term_id string")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = toks.join(F.broadcast(lex), toks.tok == F.col("name")).select(
+        "doc_id", "term_id"
+    )
+    tf = hits.groupBy("doc_id", "term_id").agg(F.count("*").alias("tf"))
+    df_ = hits.select("doc_id", "term_id").distinct().groupBy("term_id").agg(
+        F.count("*").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term_id")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term_id",
+            "tf",
+            F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6).alias("bm25"),
+        )
+    )

@@ -626,3 +626,35 @@ def simhash64(
             )
         ).alias("simhash")
     )
+
+
+def canonical_url(col):
+    """URL canonicalization Column: the dedup key a crawl pipeline groups
+    on. Scheme and host lowercase, default :80/:443 ports dropped, query
+    string and fragment dropped entirely (the aggressive-but-standard crawl
+    dedup choice — tracking params make byte-level URL dedup useless),
+    trailing slash stripped. Pure regexp Column algebra, portable between
+    Spark's Java regex and the DuckDB oracle's RE2 (no lookaround)."""
+    no_q = F.regexp_replace(col, r"[?#].*$", "")
+    scheme = F.lower(F.regexp_extract(no_q, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(no_q, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    path = F.regexp_extract(no_q, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1)
+    norm_path = F.regexp_replace(path, r"/$", "")
+    return F.concat(scheme, F.lit("://"), host, norm_path)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Exact URL-level dedup after canonicalization: one row per canonical
+    URL with the min doc id as canonical and the duplicate count — the
+    first dedup stage of every crawl pipeline (two fetches of
+    `HTTP://Site.com/a?utm_source=x#top` and `http://site.com/a/` are the
+    same page). Same groupBy shape (and scale story) as exact_dedup."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), canonical_url(F.col(url_col)).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )

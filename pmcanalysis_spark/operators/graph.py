@@ -1,0 +1,58 @@
+"""Graph statistics over the materialized knowledge graph.
+
+After canonicalization the KG is an edge table; the first questions a
+consumer asks of it are structural — hub entities (degree), clustering
+(triangles), reachability (components — already in ``canonicalize``). These
+are the DataFrame-native versions: every step is an equi-join or
+aggregation on a vertex key, so the plans shuffle on well-distributed ids
+and broadcast nothing but counters.
+
+Scale notes: degree is one groupBy. Triangle counting uses the standard
+oriented-edge trick (count each triangle once by ordering vertices, join
+work ∝ Σ_v deg_out(v)² with out-edges oriented low->high id, the classic
+degeneracy-style bound rather than deg(v)² on hubs when ids correlate with
+degree; for adversarial hubs, re-orient by (degree, id) before calling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_centrality(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(id, degree): distinct-neighbor count in the undirected view of the
+    edge table (self-loops ignored, multi-edges counted once)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("degree")
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One row (n_triangles): triangles in the undirected simple graph.
+
+    Orient every edge low-id -> high-id (each triangle a<b<c then exists
+    exactly once as the wedge a->b, b->c closed by a->c): two self-joins,
+    no post-hoc division by 6, no duplicate wedge explosion."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    ab = e
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    wedges = ab.join(bc, "b")
+    closed = wedges.join(
+        ac, (wedges.a == ac.a2) & (wedges.c == ac.c2)
+    )
+    return closed.agg(F.count("*").alias("n_triangles"))

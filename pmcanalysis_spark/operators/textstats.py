@@ -330,3 +330,122 @@ def compression_ratio(
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
         run, f"doc_id long, n_bytes long, n_compressed long, ratio double"
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step that turns a cleaned
+    corpus into fixed-length training sequences: documents are laid end to
+    end in doc-id order and cut every ``seq_len`` tokens. Returns one row
+    per chunk: (chunk_id, n_docs, n_tokens) — how many documents touch the
+    chunk and how many tokens it holds (== seq_len everywhere except the
+    tail), i.e. the packing manifest a loader materializes from.
+
+    The global running offset is computed WITHOUT a single-partition window
+    (the naive ``Window.orderBy(doc_id)`` collapses the corpus to one task):
+    range-partition on doc_id, take per-partition token totals (one tiny
+    P-row collect — the same two-phase shape as RDD.zipWithIndex), broadcast
+    the prefix offsets back, then cumsum WITHIN each partition. The ranged
+    stage is persisted first: repartitionByRange samples its boundaries per
+    execution, so the offsets job and the main job must read the SAME
+    partitioning (at production scale this stage is a checkpoint).
+    Output is independent of the partition count — only the doc-id order
+    defines the packing.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    spark = docs.sparkSession
+    n_tok = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    )
+    d = (
+        docs.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+    )
+    p = partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        d.repartitionByRange(p, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(totals):
+        offs.append((pid, acc))
+        acc += int(totals[pid])
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("doc_id")
+    spans = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("_end", F.col("_off") + F.sum("n_tok").over(w))
+        .withColumn("_start", F.col("_end") - F.col("n_tok"))
+    )
+    ch = spans.select(
+        "_start",
+        "_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_start") / seq_len),
+                F.floor((F.col("_end") - 1) / seq_len),
+            )
+        ).alias("chunk_id"),
+    )
+    return ch.groupBy("chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.least(F.col("_end"), (F.col("chunk_id") + 1) * seq_len)
+            - F.greatest(F.col("_start"), F.col("chunk_id") * seq_len)
+        ).alias("n_tokens"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the domain/language mixing
+    step of a training-data pipeline: keep a document iff its hash bucket
+    falls under its stratum's rate. (doc_id, stratum, bucket) for kept rows.
+
+    The keep decision is a pure function of (seed, doc id): bucket =
+    portable_hash64(seed || doc_id) mod 1e6 < rate * 1e6 — reproducible
+    across runs/engines (same md5 arithmetic as the dedup operators, so the
+    DuckDB oracle recomputes it verbatim), no RNG state, no sampleBy
+    (whose Bernoulli draw is partitioning-dependent). Narrow: a broadcast
+    rate lookup + a filter; no shuffle at any scale."""
+    from .dedup import portable_hash64
+
+    bucket = F.pmod(
+        portable_hash64(F.col(id_col).cast("string"), seed), F.lit(1_000_000)
+    )
+    entries = [(k, int(round(v * 1_000_000))) for k, v in sorted(rates.items())]
+    spark = docs.sparkSession
+    rate_df = spark.createDataFrame(
+        entries or [("__none__", 0)], f"{strata_col} string, _keep_lt long"
+    )
+    return (
+        docs.join(F.broadcast(rate_df), strata_col, "left")
+        .withColumn("_bucket", bucket)
+        .filter(
+            F.col("_bucket")
+            < F.coalesce(F.col("_keep_lt"), F.lit(int(round(default_rate * 1_000_000))))
+        )
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strata_col).alias("stratum"),
+            F.col("_bucket").alias("bucket"),
+        )
+    )

@@ -317,3 +317,37 @@ def test_text_neardup_materialize_identical(spark):
     finally:
         pre.unpersist()
     assert len(default) > 0
+
+
+def test_canonical_url_goldens(spark):
+    from pmcanalysis_spark.operators.dedup import canonical_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTP://Site.com/a?utm_source=x#top", "http://site.com/a"),
+        ("http://site.com/a/", "http://site.com/a"),
+        ("https://Example.COM:443/p/q?x=1&y=2", "https://example.com/p/q"),
+        ("http://example.com:80/", "http://example.com"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://h.io", "https://h.io"),
+        ("https://h.io/#frag", "https://h.io"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [c for _, c in cases]
+
+
+def test_url_dedup(spark):
+    from pmcanalysis_spark.operators.dedup import url_dedup
+
+    rows = [
+        (1, "HTTP://Site.com/a?utm_source=x#top"),
+        (2, "http://site.com/a/"),
+        (3, "http://site.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.canonical_url: (r.canonical_id, r.n_dups) for r in url_dedup(df).collect()}
+    assert out == {
+        "http://site.com/a": (1, 2),
+        "http://site.com/b": (3, 1),
+    }

@@ -59,3 +59,34 @@ def test_link_mentions_spark(spark):
     top_u2 = min(by_url["u2"], key=lambda r: r.link_rank)
     assert top_u1.term_id == "HP:1"
     assert top_u2.term_id == "MP:1"
+
+
+def test_bm25_scores_reference_formula(spark):
+    """BM25 against a straight Python reimplementation on a 3-doc corpus
+    (tf>1, df variation, length variation all exercised)."""
+    import math
+
+    from pmcanalysis_spark.linking import bm25_scores
+
+    rows = [
+        (1, "cancer cancer therapy outcome"),
+        (2, "cancer study"),
+        (3, "weather report today and tomorrow forecast"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lex = [("cancer", "DS:1"), ("therapy", "OP:1"), ("forecast", "X:1")]
+    got = {
+        (r.doc_id, r.term_id): (r.tf, r.bm25)
+        for r in bm25_scores(docs, lex, k1=1.2, b=0.75).collect()
+    }
+    dls = {1: 4, 2: 2, 3: 6}
+    avgdl = sum(dls.values()) / 3
+    n = 3
+    dfs = {"DS:1": 2, "OP:1": 1, "X:1": 1}
+    tfs = {(1, "DS:1"): 2, (1, "OP:1"): 1, (2, "DS:1"): 1, (3, "X:1"): 1}
+    exp = {}
+    for (d, t), tf in tfs.items():
+        idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        denom = tf + 1.2 * (1 - 0.75 + 0.75 * dls[d] / avgdl)
+        exp[(d, t)] = (tf, round(idf * tf * 2.2 / denom, 6))
+    assert got == exp

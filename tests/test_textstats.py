@@ -110,3 +110,74 @@ def test_compression_ratio(spark):
     assert got[2].n_compressed == len(zlib.compress(rows[1][1].encode(), 6))
     assert got[3].n_bytes == 0 and got[3].n_compressed >= 0
     assert abs(got[1].ratio - round(got[1].n_compressed / got[1].n_bytes, 6)) < 1e-12
+
+
+def test_pack_sequences_manifest(spark):
+    """Known layout: docs of 3/4/2 tokens at seq_len=5 concat to 9 tokens ->
+    chunk 0 holds d1 fully + d2 partially (5 tokens), chunk 1 the rest."""
+    from pmcanalysis_spark.operators.textstats import pack_sequences
+
+    rows = [(1, "a b c"), (2, "d e f g"), (3, "h i"), (4, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.chunk_id: (r.n_docs, r.n_tokens)
+        for r in pack_sequences(docs, seq_len=5).collect()
+    }
+    assert out == {0: (2, 5), 1: (2, 4)}
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """The two-phase offset scheme must produce the identical manifest at
+    any partition count — only doc-id order defines the packing."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.textstats import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def rows(p):
+        return sorted(
+            tuple(r)
+            for r in pack_sequences(docs, seq_len=64, partitions=p).collect()
+        )
+
+    r1, r8 = rows(1), rows(8)
+    assert r1 == r8 and len(r1) > 2
+    # conservation: total tokens across chunks == corpus token count
+    total = docs.select(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda t: t != "")))
+    ).collect()[0][0]
+    assert sum(r[2] for r in r1) == total
+    # every chunk except the last is exactly full
+    full = [r for r in r1[:-1]]
+    assert all(r[2] == 64 for r in full)
+
+
+def test_stratified_sample_deterministic_rule(spark):
+    """The keep decision is a pure function of (seed, doc_id): recompute the
+    md5 rule in Python and compare row sets; rate 1.0 keeps everything in
+    the stratum, absent strata use default_rate (0 -> dropped)."""
+    import hashlib
+
+    from pmcanalysis_spark.operators.textstats import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stratified_sample(
+        docs, rates={"en": 1.0, "de": 0.25}, strata_col="lang", seed=7
+    )
+    got = {(r.doc_id, r.stratum, r.bucket) for r in out.collect()}
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"7|{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16) % 1_000_000
+
+    exp = set()
+    for r in docs.select("doc_id", "lang").collect():
+        b = bucket(r.doc_id)
+        rate = {"en": 1.0, "de": 0.25}.get(r.lang, 0.0)
+        if b < rate * 1_000_000:
+            exp.add((r.doc_id, r.lang, b))
+    assert got == exp and len(got) > 0
+    # en kept in full, some de kept, everything else dropped
+    langs = {s for _, s, _ in got}
+    assert "en" in langs
