@@ -1456,6 +1456,38 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(e)
 
 
+# every 8-token window occurrence with its start position (1-based i),
+# NOT deduplicated — the substring-dedup oracles build on this
+_SPAN_OCC_SQL = """
+  WITH occ AS (
+    SELECT doc_id, i, array_to_string(toks[i : i + 7], ' ') AS span
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             unnest(range(1, greatest(len(string_split(text, ' ')) - 8, 0) + 2)) AS i
+      FROM documents
+    )
+    WHERE i + 7 <= len(toks)
+  )
+"""
+
+
+def q_dd_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal (r4): every 8-token window occurring
+    >= 2 times corpus-wide, with doc and occurrence counts — the
+    fixed-length-span stand-in for suffix-array substring dedup."""
+    from pmcanalysis_spark.operators.dedup import repeated_spans
+
+    return repeated_spans(_docs(spark, sf_dir), span_len=8, min_count=2)
+
+
+def q_dd_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-corpus duplication fraction (r4): which documents are
+    assembled from text that exists elsewhere (the actionable cut)."""
+    from pmcanalysis_spark.operators.dedup import span_dup_stats
+
+    return span_dup_stats(_docs(spark, sf_dir), span_len=8, min_count=2)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1544,6 +1576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_bm25": q_link_bm25,
         "kg_degree": q_kg_degree,
         "kg_triangles": q_kg_triangles,
+        "dd_repeated_spans": q_dd_repeated_spans,
+        "dd_span_dup_stats": q_dd_span_dup_stats,
     }
 
 
@@ -2578,6 +2612,24 @@ def oracle_sql() -> dict[str, str]:
           FROM pairs ab
           JOIN pairs bc ON ab.b = bc.a
           JOIN pairs ac ON ac.a = ab.a AND ac.b = bc.b
+        """,
+        "dd_repeated_spans": _SPAN_OCC_SQL + """
+          SELECT span, COUNT(DISTINCT doc_id) AS n_docs,
+                 COUNT(*) AS n_occurrences
+          FROM occ GROUP BY span HAVING COUNT(*) >= 2
+        """,
+        "dd_span_dup_stats": _SPAN_OCC_SQL + """,
+          rep AS (SELECT span FROM occ GROUP BY span HAVING COUNT(*) >= 2),
+          per_doc AS (SELECT doc_id, COUNT(*) AS n_spans FROM occ GROUP BY 1),
+          per_rep AS (
+            SELECT doc_id, COUNT(*) AS n_repeated
+            FROM occ WHERE span IN (SELECT span FROM rep) GROUP BY 1
+          )
+          SELECT d.doc_id, d.n_spans,
+                 COALESCE(r.n_repeated, 0) AS n_repeated,
+                 ROUND(CAST(COALESCE(r.n_repeated, 0) AS DOUBLE) / d.n_spans, 6)
+                   AS dup_frac
+          FROM per_doc d LEFT JOIN per_rep r ON r.doc_id = d.doc_id
         """,
     }
 

@@ -658,3 +658,91 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
             F.count("*").alias("n_dups"),
         )
     )
+
+
+def span_occurrences(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", span_len: int = 8
+) -> DataFrame:
+    """(doc_id, pos, span): EVERY token window of length ``span_len`` at
+    every start position — unlike ``shingles`` nothing is deduplicated,
+    because substring-level dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better") cares about total duplicated text, and a
+    span repeated within one document is still duplication. Native column
+    algebra (split + posexplode), no Python."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - span_len, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, span_len)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "span")
+    ).filter(F.size(F.split(F.col("span"), " ")) == span_len)
+
+
+def repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide repeated substrings: (span, n_docs, n_occurrences) for
+    every ``span_len``-token window occurring at least ``min_count`` times
+    anywhere — the distributed stand-in for the suffix-array substring-dedup
+    pass (a suffix array finds arbitrary-length repeats; fixed-length span
+    hashing finds every repeat of >= span_len tokens, since any such repeat
+    contains a repeated span, at shuffle-key cost instead of global sort).
+
+    Plan: one explode -> groupBy(span) with map-side combine (the shuffle
+    carries distinct spans per partition, not occurrences) -> HAVING filter.
+    Skew: a boilerplate span is exactly what this finds — the aggregate is
+    a counter, never a list, so a hot span costs one combiner cell."""
+    occ = span_occurrences(docs, id_col, text_col, span_len)
+    return (
+        occ.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def span_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document cross-corpus duplication signal: (doc_id, n_spans,
+    n_repeated, dup_frac) where n_repeated counts this doc's span positions
+    whose span occurs >= min_count times CORPUS-WIDE — the actionable
+    complement of ``textstats.repetition_stats`` (which only sees
+    within-doc repetition). dup_frac ~ 1 means the document is assembled
+    from text that exists elsewhere; the standard cut drops or trims those.
+    Docs shorter than ``span_len`` tokens have no spans and emit no row.
+
+    Plan: the occurrence table is built once per side of a self-agg join on
+    span (shuffle key = span text, the same well-distributed key as the
+    shingle joins; the hot-span aggregate is a counter, so boilerplate
+    inflates one cell, not a group list)."""
+    occ = span_occurrences(docs, id_col, text_col, span_len)
+    rep = (
+        occ.groupBy("span")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("span")
+    )
+    flagged = occ.join(rep, "span", "left_semi")
+    per_doc = occ.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    per_rep = flagged.groupBy("doc_id").agg(F.count("*").alias("n_repeated"))
+    return (
+        per_doc.join(per_rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+            F.round(
+                F.coalesce("n_repeated", F.lit(0)).cast("double") / F.col("n_spans"), 6
+            ).alias("dup_frac"),
+        )
+    )

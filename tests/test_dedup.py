@@ -351,3 +351,41 @@ def test_url_dedup(spark):
         "http://site.com/a": (1, 2),
         "http://site.com/b": (3, 1),
     }
+
+
+def test_repeated_spans_and_dup_stats(spark):
+    """Constructed corpus: a 4-token span planted in two docs and twice in a
+    third; an all-unique doc; a doc shorter than the span length."""
+    from pmcanalysis_spark.operators.dedup import repeated_spans, span_dup_stats
+
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (1, f"alpha beta {boiler} gamma"),
+        (2, f"{boiler} delta epsilon zeta"),
+        (3, f"{boiler} and again {boiler}"),
+        (4, "totally unique words nothing shared here"),
+        (5, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    reps = {
+        r.span: (r.n_docs, r.n_occurrences)
+        for r in repeated_spans(docs, span_len=4, min_count=2).collect()
+    }
+    assert reps[boiler] == (3, 4)
+    # within-doc-only repeats still count ("again all rights reserved" etc.
+    # appear once; the only >=2-occurrence spans must all involve boiler)
+    for span, (nd, no) in reps.items():
+        assert no >= 2
+
+    stats = {
+        r.doc_id: (r.n_spans, r.n_repeated, r.dup_frac)
+        for r in span_dup_stats(docs, span_len=4, min_count=2).collect()
+    }
+    # doc 1: 7 tokens -> 4 spans, 1 repeated
+    assert stats[1] == (4, 1, 0.25)
+    # doc 4: unique -> 0 repeated
+    assert stats[4][1] == 0 and stats[4][2] == 0.0
+    # doc 3 is boilerplate-dominated: both planted spans repeated
+    assert stats[3][1] >= 2
+    # doc 5 has no 4-token span -> no row
+    assert 5 not in stats
