@@ -55,6 +55,15 @@ BENCH_QUERIES = [
     "ev_topk_users",
     "tpch_pricing_summary",
     "tpch_join_agg",
+    # new in r4
+    "ts_pack_sequences",
+    "ts_stratified_sample",
+    "dd_url_dedup",
+    "dd_repeated_spans",
+    "dd_span_dup_stats",
+    "link_bm25",
+    "kg_degree",
+    "kg_triangles",
 ]
 
 

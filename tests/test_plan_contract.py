@@ -168,3 +168,40 @@ def test_ev_topk_users_uses_distributed_topk(spark):
 
     df = entrymod.queries()["ev_topk_users"](spark, "/root/testdata/sf0.001")
     assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_pack_sequences_no_single_partition_exchange(spark):
+    """The whole point of the two-phase offset scheme: the manifest plan
+    must contain NO SinglePartition exchange (a global ordered window would
+    put one there and serialize the corpus through one task)."""
+    from pmcanalysis_spark.operators.textstats import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pack_sequences(docs, seq_len=64, partitions=8))
+    assert "SinglePartition" not in plan
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Broadcast rate lookup + filter: zero Exchange in the whole plan (the
+    only acceptable data movement is the rate-table broadcast)."""
+    from pmcanalysis_spark.operators.textstats import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(stratified_sample(docs, rates={"en": 0.5}, strata_col="lang"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "broadcast" in line.lower(), line
+
+
+def test_bm25_broadcasts_lexicon_and_stats(spark):
+    """The lexicon join and both 1-row stat joins must be broadcasts; the
+    only hash shuffles key on doc_id/term_id aggregates."""
+    from pmcanalysis_spark.linking import bm25_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(bm25_scores(docs, [("spark", "X:1"), ("table", "X:2")]))
+    assert plan.count("BroadcastHashJoin") >= 2 or (
+        "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
