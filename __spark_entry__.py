@@ -1488,6 +1488,23 @@ def q_dd_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(_docs(spark, sf_dir), span_len=8, min_count=2)
 
 
+def q_ts_keep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/Gopher-style keep/drop endgame (r4): all cleaning rules in
+    one narrow zero-shuffle select, reasons recorded per doc."""
+    from pmcanalysis_spark.operators.textstats import keep_filter
+
+    return keep_filter(_docs(spark, sf_dir))
+
+
+def q_ts_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health over the keep decision (r4): which crawl
+    sources are worth fetching (kept fraction + quality mass)."""
+    from pmcanalysis_spark.operators.textstats import keep_filter, source_stats
+
+    docs = _docs(spark, sf_dir)
+    return source_stats(docs, keep_filter(docs))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1578,6 +1595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "dd_repeated_spans": q_dd_repeated_spans,
         "dd_span_dup_stats": q_dd_span_dup_stats,
+        "ts_keep_filter": q_ts_keep_filter,
+        "ts_source_stats": q_ts_source_stats,
     }
 
 
@@ -2340,26 +2359,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT a_id, b_id, ROUND(cosine, 6) AS cosine
           FROM pairs WHERE cosine >= 0.95
         """,
-        "ts_repetition": """
-          WITH g AS (
-            SELECT doc_id, grams FROM (
-              SELECT doc_id,
-                list_filter(
-                  [array_to_string(toks[i : i + 1], ' ')
-                   FOR i IN range(1, greatest(len(toks) - 1, 0) + 1)],
-                  x -> len(string_split(x, ' ')) = 2
-                ) AS grams
-              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-            )
-          )
-          SELECT doc_id,
-            len(grams) AS n_ngrams,
-            len(list_distinct(grams)) AS n_distinct,
-            ROUND(CASE WHEN len(grams) > 0
-                  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
-                  ELSE 0.0 END, 6) AS dup_frac
-          FROM g
-        """,
+        "ts_repetition": _REPETITION_SQL,
         "ts_top_ngrams": """
           WITH sh AS (
             SELECT doc_id, ngram FROM (
@@ -2631,6 +2631,16 @@ def oracle_sql() -> dict[str, str]:
                    AS dup_frac
           FROM per_doc d LEFT JOIN per_rep r ON r.doc_id = d.doc_id
         """,
+        "ts_keep_filter": _KEEP_SQL,
+        "ts_source_stats": f"""
+          WITH k AS ({_KEEP_SQL})
+          SELECT d.source, COUNT(*) AS n_docs,
+                 CAST(SUM(k.keep) AS BIGINT) AS n_kept,
+                 ROUND(CAST(SUM(CAST(k.quality AS DECIMAL(28, 6))) AS DOUBLE), 6)
+                   AS sum_quality
+          FROM documents d JOIN k ON k.doc_id = d.doc_id
+          GROUP BY d.source
+        """,
     }
 
 
@@ -2686,5 +2696,49 @@ _LANG_ID_SQL = f"""
         FROM documents
       )
     )
+  )
+"""
+
+_REPETITION_SQL = """
+  WITH g AS (
+    SELECT doc_id, grams FROM (
+      SELECT doc_id,
+        list_filter(
+          [array_to_string(toks[i : i + 1], ' ')
+           FOR i IN range(1, greatest(len(toks) - 1, 0) + 1)],
+          x -> len(string_split(x, ' ')) = 2
+        ) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+  )
+  SELECT doc_id,
+    len(grams) AS n_ngrams,
+    len(list_distinct(grams)) AS n_distinct,
+    ROUND(CASE WHEN len(grams) > 0
+          THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+          ELSE 0.0 END, 6) AS dup_frac
+  FROM g
+"""
+
+# the keep/drop endgame: compose the quality / repetition / lang-id oracle
+# bodies and apply the rules on the ROUND(6) values (same arithmetic as the
+# Spark side, so a last-ulp difference cannot flip keep)
+_KEEP_SQL = f"""
+  WITH q AS ({_QUALITY_SQL}),
+  r AS ({_REPETITION_SQL}),
+  l AS ({_LANG_ID_SQL}),
+  j AS (
+    SELECT q.doc_id, q.n_tokens, q.quality, r.dup_frac, l.pred_lang
+    FROM q JOIN r ON r.doc_id = q.doc_id JOIN l ON l.doc_id = q.doc_id
+  )
+  SELECT doc_id, n_tokens, quality, dup_frac, pred_lang,
+    CASE WHEN reasons = '' THEN 1 ELSE 0 END AS keep, reasons
+  FROM (
+    SELECT *, concat_ws(',',
+      CASE WHEN n_tokens < 20 THEN 'short' END,
+      CASE WHEN dup_frac > 0.3 THEN 'repetitive' END,
+      CASE WHEN quality < 0.5 THEN 'low_quality' END,
+      CASE WHEN pred_lang NOT IN ('de', 'en', 'es', 'fr') THEN 'lang' END
+    ) AS reasons FROM j
   )
 """

@@ -449,3 +449,112 @@ def stratified_sample(
             F.col("_bucket").alias("bucket"),
         )
     )
+
+
+def keep_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_dup_frac: float = 0.3,
+    min_quality: float = 0.5,
+    allowed_langs: tuple[str, ...] = ("de", "en", "es", "fr"),
+) -> DataFrame:
+    """The keep/drop endgame of a C4/Gopher-style cleaning pipeline: every
+    rule evaluated per document in ONE narrow select — (doc_id, n_tokens,
+    quality, dup_frac, pred_lang, keep, reasons), where ``reasons`` is the
+    comma-joined list of failed rules (deterministic order: short,
+    repetitive, low_quality, lang) and keep = 1 iff none failed.
+
+    All four signals are recomputed INLINE from the same expressions as
+    ``quality_score`` / ``repetition_stats`` / ``lang_id`` (a consistency
+    test pins them equal), so at 100 TB the keep decision costs one scan
+    with zero shuffles and zero joins — not three derived tables joined on
+    doc_id. Rule comparisons use the ROUND(6) values, matching the oracle's
+    arithmetic exactly (a last-ulp quality difference must not flip keep).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    en_stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.3).otherwise(0.0)
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
+        + F.when(punct_ratio <= 0.1, 0.1).otherwise(0.0),
+        6,
+    )
+    # repetition (bigram dup fraction) — repetition_stats n=2 expressions
+    rtoks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(rtoks) - 2, F.lit(0)))
+    grams = F.filter(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(rtoks, i + 1, 2))),
+        lambda g: F.size(F.split(g, " ")) == 2,
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    dup_frac = F.round(
+        F.when(total > 0, 1.0 - distinct.cast("double") / total).otherwise(0.0), 6
+    )
+    # language id — lang_id expressions
+    langs = sorted(LANG_PROFILES)
+    hit_cols = {}
+    for lang in langs:
+        prof = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+        hit_cols[lang] = F.size(F.filter(toks, lambda t: F.array_contains(prof, t)))
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(hit_cols[lang] == best, F.lit(lang))
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        quality.alias("quality"),
+        dup_frac.alias("dup_frac"),
+        pred.alias("pred_lang"),
+    )
+    conds = [
+        ("short", F.col("n_tokens") < min_tokens),
+        ("repetitive", F.col("dup_frac") > max_dup_frac),
+        ("low_quality", F.col("quality") < min_quality),
+        ("lang", ~F.col("pred_lang").isin(*allowed_langs)),
+    ]
+    reasons = F.concat_ws(",", *[F.when(c, F.lit(nm)) for nm, c in conds])
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "dup_frac",
+        "pred_lang",
+        F.when(reasons == "", 1).otherwise(0).cast("int").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+def source_stats(
+    docs: DataFrame,
+    keep: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source corpus health report over a ``keep_filter`` result:
+    (source, n_docs, n_kept, sum_quality) — the dashboard a pipeline
+    operator reads to see which crawl sources are worth fetching.
+    sum_quality goes through DECIMAL(28,6) (the cross-engine float-sum
+    recipe); one broadcast-free groupBy on the source key."""
+    j = docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")).join(
+        keep.select("doc_id", "quality", "keep"), "doc_id"
+    )
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("sum_quality"),
+    )

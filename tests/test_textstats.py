@@ -181,3 +181,61 @@ def test_stratified_sample_deterministic_rule(spark):
     # en kept in full, some de kept, everything else dropped
     langs = {s for _, s, _ in got}
     assert "en" in langs
+
+
+def test_keep_filter_consistent_with_standalone_signals(spark):
+    """keep_filter's inlined quality/dup_frac/pred_lang must equal the
+    standalone operators row-for-row (the consistency pin for the fused
+    one-scan implementation), and the keep/reasons logic must follow."""
+    from pmcanalysis_spark.operators.textstats import (
+        keep_filter,
+        lang_id,
+        quality_score,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kf = {r.doc_id: r for r in keep_filter(docs).collect()}
+    q = {r.doc_id: r for r in quality_score(docs).collect()}
+    rep = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    li = {r.doc_id: r for r in lang_id(docs).collect()}
+    assert set(kf) == set(q)
+    for d, r in kf.items():
+        assert r.quality == q[d].quality
+        assert r.dup_frac == rep[d].dup_frac
+        assert r.pred_lang == li[d].pred_lang
+        assert r.n_tokens == q[d].n_tokens
+        failed = []
+        if r.n_tokens < 20:
+            failed.append("short")
+        if r.dup_frac > 0.3:
+            failed.append("repetitive")
+        if r.quality < 0.5:
+            failed.append("low_quality")
+        if r.pred_lang not in ("de", "en", "es", "fr"):
+            failed.append("lang")
+        assert r.reasons == ",".join(failed)
+        assert r.keep == (1 if not failed else 0)
+    assert any(r.keep == 1 for r in kf.values())
+    assert any(r.keep == 0 for r in kf.values())
+
+
+def test_keep_filter_single_scan_no_shuffle(spark):
+    """The fused keep decision must be one narrow select: no Exchange of
+    any kind in the physical plan."""
+    from pmcanalysis_spark.operators.textstats import keep_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = keep_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_source_stats(spark):
+    from pmcanalysis_spark.operators.textstats import keep_filter, source_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {r.source: (r.n_docs, r.n_kept) for r in
+           source_stats(docs, keep_filter(docs)).collect()}
+    total = sum(n for n, _ in out.values())
+    assert total == docs.count()
+    assert all(0 <= k <= n for n, k in out.values())
