@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "link_bm25",
     "kg_degree",
     "kg_triangles",
+    "ts_keep_filter",
 ]
 
 
