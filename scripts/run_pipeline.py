@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
                          "(MinHash-LSH candidates -> exact-Jaccard confirm -> "
                          "connected components -> (url, cluster_id))")
     ap.add_argument("--neardup-threshold", type=float, default=0.8)
+    ap.add_argument("--snapshot-table", default=None,
+                    help="also commit the canonical triples into a versioned "
+                         "SnapshotTable at this path (time-travelable history, "
+                         "one snapshot per run)")
     args = ap.parse_args(argv)
 
     import hashlib
@@ -190,6 +194,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         summary["n_neardup_rows"] = nres.row_count
         summary["neardup_resumed"] = nres.resumed
+
+    # optional snapshot-table sink: commit the canonical triples into the
+    # versioned table (snapshots.SnapshotTable — append/overwrite history,
+    # time travel, optimistic commits); each pipeline run adds a snapshot,
+    # so consumers can pin or diff runs
+    if args.snapshot_table:
+        from pmcanalysis_spark.snapshots import SnapshotTable
+
+        table = SnapshotTable(spark, args.snapshot_table)
+        snap_id = table.commit(
+            spark.read.parquet(os.path.join(args.output, "triples_canonical", "data")),
+            mode="overwrite",
+        )
+        summary["snapshot_id"] = snap_id
+        summary["snapshot_table"] = args.snapshot_table
 
     wall = time.perf_counter() - t0
     summary["wall_sec"] = round(wall, 2)
