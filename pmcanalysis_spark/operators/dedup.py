@@ -640,7 +640,11 @@ def canonical_url(col):
     hostport = F.lower(F.regexp_extract(no_q, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1))
     host = F.regexp_replace(hostport, r":(80|443)$", "")
     path = F.regexp_extract(no_q, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1)
-    norm_path = F.regexp_replace(path, r"/$", "")
+    # strip ALL trailing slashes: '//' must reach '' in one pass, or the
+    # canonical form isn't a fixed point (caught by the Hypothesis
+    # idempotence property — one-slash stripping left 'http://h//' at
+    # 'http://h/' whose re-canonicalization differed)
+    norm_path = F.regexp_replace(path, r"/+$", "")
     return F.concat(scheme, F.lit("://"), host, norm_path)
 
 

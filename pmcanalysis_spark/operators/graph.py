@@ -34,12 +34,27 @@ def degree_centrality(edges: DataFrame, src: str = "src", dst: str = "dst") -> D
     )
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient_by_degree: bool = False,
+) -> DataFrame:
     """One row (n_triangles): triangles in the undirected simple graph.
 
-    Orient every edge low-id -> high-id (each triangle a<b<c then exists
-    exactly once as the wedge a->b, b->c closed by a->c): two self-joins,
-    no post-hoc division by 6, no duplicate wedge explosion."""
+    Orient every edge along a total vertex order (each triangle a<b<c then
+    exists exactly once as the wedge a->b, b->c closed by a->c): two
+    self-joins, no post-hoc division by 6, no duplicate wedge explosion.
+
+    ``orient_by_degree=False`` orders by vertex id — fine when ids don't
+    correlate with degree. ``orient_by_degree=True`` orders by (degree, id):
+    the standard degeneracy orientation, which bounds every vertex's
+    out-degree by O(sqrt(m)) and therefore the wedge join by O(m^1.5)
+    regardless of hubs — at web scale a celebrity vertex with out-degree d
+    under id-order contributes d^2 wedges; under degree-order its edges
+    point INTO it and contribute ~0. Cost: one extra degree aggregation and
+    two joins to rank endpoints. Counts are identical (any total order
+    counts each triangle exactly once — tested)."""
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -48,6 +63,19 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .distinct()
     )
+    if orient_by_degree:
+        deg = degree_centrality(e, "a", "b")
+        da = deg.select(F.col("id").alias("a"), F.col("degree").alias("_da"))
+        db = deg.select(F.col("id").alias("b"), F.col("degree").alias("_db"))
+        ranked = e.join(da, "a").join(db, "b")
+        # orient from the (degree, id)-smaller endpoint to the larger
+        a_first = (F.col("_da") < F.col("_db")) | (
+            (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+        )
+        e = ranked.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("a"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("b"),
+        )
     ab = e
     bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))

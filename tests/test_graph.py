@@ -35,3 +35,20 @@ def test_triangle_free(spark):
     rows = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13)]
     e = spark.createDataFrame(rows, "src long, dst long")
     assert triangle_count(e).collect()[0].n_triangles == 0
+
+
+def test_triangle_count_degree_orientation_identical(spark):
+    """The degeneracy orientation must count exactly the same triangles as
+    id-order on K4, the planted-hub star+triangles graph, and a deterministic
+    pseudo-random graph."""
+    import random
+
+    rows = [(1, 2), (3, 1), (1, 4), (2, 3), (4, 2), (3, 4)]  # K4
+    # hub vertex 0 connected to everything + a few triangles through it
+    rows += [(0, i) for i in range(10, 30)] + [(10, 11), (12, 13), (14, 15)]
+    rng = random.Random(99)
+    rows += [(rng.randrange(50), rng.randrange(50)) for _ in range(200)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    a = triangle_count(e).collect()[0].n_triangles
+    b = triangle_count(e, orient_by_degree=True).collect()[0].n_triangles
+    assert a == b and a >= 7  # K4's 4 + the three hub triangles

@@ -250,3 +250,74 @@ def test_codecs_never_crash_on_garbage(payload):
         decode_jpeg_pixels(p)
         decode_gif_pixels(p)
         decode_wav_samples(p)
+
+
+# --- r4: URL canonicalization is idempotent and scheme/host-lowering ------
+
+_url_st = st.builds(
+    lambda scheme, host, port, path, q, frag: (
+        f"{scheme}://{host}{port}{path}{q}{frag}"
+    ),
+    scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+    host=st.from_regex(r"[A-Za-z][A-Za-z0-9.-]{0,20}\.[A-Za-z]{2,5}", fullmatch=True),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.from_regex(r"(/[A-Za-z0-9._~-]{0,10}){0,4}/?", fullmatch=True),
+    q=st.sampled_from(["", "?a=1", "?utm_source=x&b=2"]),
+    frag=st.sampled_from(["", "#top", "#a/b?c"]),
+)
+
+
+@given(st.lists(_url_st, min_size=1, max_size=30, unique=True))
+@settings(max_examples=20, deadline=None)
+def test_canonical_url_idempotent(urls):
+    """canonical(canonical(u)) == canonical(u): the canonical form is a
+    fixed point, so re-running dedup over already-canonical URLs is a
+    no-op — the property that makes the operator safe to compose."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.dedup import canonical_url
+    from pmcanalysis_spark.session import get_spark
+
+    spark = get_spark(app_name="pmcanalysis-tests", cores=4, shuffle_partitions=4)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c1"))
+    twice = once.select(F.col("c1"), canonical_url(F.col("c1")).alias("c2"))
+    rows = twice.collect()
+    for r in rows:
+        assert r.c2 == r.c1, (r.c1, r.c2)
+        assert "#" not in r.c1 and "?" not in r.c1
+        scheme = r.c1.split("://", 1)[0]
+        assert scheme == scheme.lower()
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=20
+    ),
+    st.integers(min_value=2, max_value=16),
+)
+@settings(max_examples=15, deadline=None)
+def test_pack_sequences_conservation(texts, seq_len):
+    """Invariants for any corpus and chunk size: total tokens across chunks
+    equals the corpus token count; every chunk except the highest id is
+    exactly full; chunk ids are the contiguous range 0..n-1."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.textstats import pack_sequences
+    from pmcanalysis_spark.session import get_spark
+
+    spark = get_spark(app_name="pmcanalysis-tests", cores=4, shuffle_partitions=4)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    chunks = sorted(
+        (r.chunk_id, r.n_tokens)
+        for r in pack_sequences(docs, seq_len=seq_len, partitions=3).collect()
+    )
+    total = docs.select(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda t: t != "")))
+    ).collect()[0][0] or 0
+    assert sum(n for _, n in chunks) == total
+    if chunks:
+        assert [c for c, _ in chunks] == list(range(len(chunks)))
+        assert all(n == seq_len for _, n in chunks[:-1])
