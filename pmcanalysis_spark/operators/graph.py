@@ -39,6 +39,7 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     orient_by_degree: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """One row (n_triangles): triangles in the undirected simple graph.
 
@@ -54,7 +55,14 @@ def triangle_count(
     under id-order contributes d^2 wedges; under degree-order its edges
     point INTO it and contribute ~0. Cost: one extra degree aggregation and
     two joins to rank endpoints. Counts are identical (any total order
-    counts each triangle exactly once — tested)."""
+    counts each triangle exactly once — tested).
+
+    The oriented edge table is referenced by all three join sides (ab, bc,
+    ac — plus the degree aggregation in orient mode) and Catalyst does not
+    CSE across them, so ``materialize`` (default True) persists it: whatever
+    produced the edges executes once, not three-to-five times."""
+    from pyspark.storagelevel import StorageLevel
+
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -63,6 +71,8 @@ def triangle_count(
         )
         .distinct()
     )
+    if materialize:
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
     if orient_by_degree:
         deg = degree_centrality(e, "a", "b")
         da = deg.select(F.col("id").alias("a"), F.col("degree").alias("_da"))
