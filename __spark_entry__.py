@@ -1505,6 +1505,14 @@ def q_ts_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_stats(docs, keep_filter(docs))
 
 
+def q_ts_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram log-perplexity quality signal (r4): mean
+    negative log corpus-frequency per token, add-0.5 smoothed."""
+    from pmcanalysis_spark.operators.textstats import unigram_logppl
+
+    return unigram_logppl(_docs(spark, sf_dir), alpha=0.5)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1597,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_span_dup_stats": q_dd_span_dup_stats,
         "ts_keep_filter": q_ts_keep_filter,
         "ts_source_stats": q_ts_source_stats,
+        "ts_unigram_logppl": q_ts_unigram_logppl,
     }
 
 
@@ -2632,6 +2641,26 @@ def oracle_sql() -> dict[str, str]:
           FROM per_doc d LEFT JOIN per_rep r ON r.doc_id = d.doc_id
         """,
         "ts_keep_filter": _KEEP_SQL,
+        "ts_unigram_logppl": """
+          WITH t AS (
+            SELECT doc_id, token FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents
+            ) WHERE token <> ''
+          ),
+          counts AS (SELECT token, COUNT(*) AS n FROM t GROUP BY 1),
+          totals AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS vocab FROM counts
+          ),
+          logp AS (
+            SELECT token, ROUND(-ln((n + 0.5) / (total + 0.5 * vocab)), 9) AS nll
+            FROM counts CROSS JOIN totals
+          )
+          SELECT t.doc_id, COUNT(*) AS n_tokens,
+                 ROUND(CAST(SUM(CAST(l.nll AS DECIMAL(28, 9))) AS DOUBLE)
+                       / COUNT(*), 6) AS logppl
+          FROM t JOIN logp l USING (token) GROUP BY 1
+        """,
         "ts_source_stats": f"""
           WITH k AS ({_KEEP_SQL})
           SELECT d.source, COUNT(*) AS n_docs,

@@ -558,3 +558,60 @@ def source_stats(
             F.sum(F.col("quality").cast("decimal(28,6)")).cast("double"), 6
         ).alias("sum_quality"),
     )
+
+
+def unigram_logppl(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style perplexity quality signal with the LM replaced by the
+    corpus's own unigram distribution: (doc_id, n_tokens, logppl) where
+    logppl = mean over tokens of -ln p(token), p estimated from corpus
+    counts with add-``alpha`` smoothing over the observed vocabulary.
+    Deterministic (no trained artifact) yet ranks documents the way a
+    perplexity filter does: common-word prose scores low, rare-token noise
+    scores high — the standard "middle band keeps" signal.
+
+    Plan: one explode -> token-count aggregate (map-side combine) -> ONE
+    1-row total cross-joined -> join token logprobs back to occurrences ->
+    per-doc mean. The logprob table is vocabulary-sized; at web scale the
+    occurrence-side join keys on token (same well-distributed key as every
+    shingle join). ln() stays positive-argument by construction; the
+    per-doc mean goes through ROUND(SUM(ROUND(term,9)) via DECIMAL, 6)
+    so the oracle's summation order can't drift the hash.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count("*").alias("vocab")
+    )
+    logp = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.round(
+            -F.log(
+                (F.col("n") + F.lit(alpha))
+                / (F.col("total") + F.lit(alpha) * F.col("vocab"))
+            ),
+            9,
+        ).alias("nll"),
+    )
+    return (
+        toks.join(logp, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            # decimal-sum (order-independent) -> double -> divide -> round:
+            # the same operation order as the oracle, so the hash can't
+            # drift on decimal-division scale rules
+            F.round(
+                F.sum(F.col("nll").cast("decimal(28,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("logppl"),
+        )
+    )

@@ -52,3 +52,45 @@ def test_triangle_count_degree_orientation_identical(spark):
     a = triangle_count(e).collect()[0].n_triangles
     b = triangle_count(e, orient_by_degree=True).collect()[0].n_triangles
     assert a == b and a >= 7  # K4's 4 + the three hub triangles
+
+
+def _py_pagerank(edges, damping=0.85, iters=60):
+    nodes = sorted({v for e in edges for v in e})
+    n = len(nodes)
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if v not in out)
+        new = {}
+        for v in nodes:
+            new[v] = (1 - damping) / n + damping * dang / n
+        for s, ds in out.items():
+            for d in ds:
+                new[d] += damping * r[s] / len(ds)
+        r = new
+    return r
+
+
+def test_pagerank_cycle_uniform(spark):
+    from pmcanalysis_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(e).collect()}
+    for v in (1, 2, 3):
+        assert abs(got[v] - 1 / 3) < 1e-6
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """Chain with a dangling sink + a hub: ranks match an independent
+    Python power iteration to 1e-5, and sum to 1."""
+    from pmcanalysis_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 3), (5, 1), (5, 2), (5, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(e, max_iter=60, tol=1e-9).collect()}
+    exp = _py_pagerank(edges)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    for v, rv in exp.items():
+        assert abs(got[v] - rv) < 1e-5, (v, got[v], rv)

@@ -239,3 +239,31 @@ def test_source_stats(spark):
     total = sum(n for n, _ in out.values())
     assert total == docs.count()
     assert all(0 <= k <= n for n, k in out.values())
+
+
+def test_unigram_logppl_reference(spark):
+    """Straight Python reimplementation on a tiny corpus: common-word docs
+    score lower than rare-token docs."""
+    import math
+    from collections import Counter
+
+    from pmcanalysis_spark.operators.textstats import unigram_logppl
+
+    rows = [
+        (1, "the the the and and of"),
+        (2, "zyzzyva qwertyuiop xylophone"),
+        (3, "the and of to"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.logppl)
+           for r in unigram_logppl(docs, alpha=0.5).collect()}
+    toks = {d: t.split() for d, t in [(r[0], r[1]) for r in rows]}
+    counts = Counter(w for ws in toks.values() for w in ws)
+    total, vocab = sum(counts.values()), len(counts)
+    nll = {w: round(-math.log((c + 0.5) / (total + 0.5 * vocab)), 9)
+           for w, c in counts.items()}
+    for d, ws in toks.items():
+        exp = round(sum(nll[w] for w in ws) / len(ws), 6)
+        assert got[d] == (len(ws), exp), (d, got[d], exp)
+    # the rare-token doc is the most "perplexing"
+    assert got[2][1] > got[1][1] and got[2][1] > got[3][1]
