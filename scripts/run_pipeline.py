@@ -53,6 +53,13 @@ def main(argv: list[str] | None = None) -> int:
                          "(MinHash-LSH candidates -> exact-Jaccard confirm -> "
                          "connected components -> (url, cluster_id))")
     ap.add_argument("--neardup-threshold", type=float, default=0.8)
+    ap.add_argument("--clean", action="store_true",
+                    help="run the C4/Gopher-style keep_filter gate before "
+                         "extraction; materializes the per-url keep decision "
+                         "(with reasons) as its own resumable stage")
+    ap.add_argument("--clean-min-tokens", type=int, default=20)
+    ap.add_argument("--clean-max-dup-frac", type=float, default=0.3)
+    ap.add_argument("--clean-min-quality", type=float, default=0.5)
     ap.add_argument("--snapshot-table", default=None,
                     help="also commit the canonical triples into a versioned "
                          "SnapshotTable at this path (time-travelable history, "
@@ -137,6 +144,30 @@ def main(argv: list[str] | None = None) -> int:
             from pmcanalysis_spark.pipeline import ingest
 
             web_pages = ingest(web_pages, args.range_partitions)
+
+            if args.clean:
+                # cleaning gate before extraction: materialize the keep
+                # decision (auditable — reasons per url), feed only kept
+                # pages forward. keep_filter is one narrow select, so the
+                # stage costs one scan + the checkpoint write.
+                from pmcanalysis_spark.operators.textstats import keep_filter
+
+                decisions = keep_filter(
+                    web_pages, id_col="url",
+                    min_tokens=args.clean_min_tokens,
+                    max_dup_frac=args.clean_max_dup_frac,
+                    min_quality=args.clean_min_quality,
+                )
+                kd, _kres = materialize_stage(
+                    decisions, "keep_decisions", args.output, key_col="doc_id",
+                    fingerprint=fp + "|clean",
+                )
+                kept = kd.filter(kd.keep == 1).select(
+                    kd.doc_id.alias("_keep_url")
+                )
+                web_pages = web_pages.join(
+                    kept, web_pages.url == kept._keep_url, "left_semi"
+                )
 
             triples = build_triples(web_pages, lex, hierarchy=hier, cfg=cfg)
             out, res = materialize_stage(

@@ -109,3 +109,36 @@ def test_run_pipeline_neardup_stage(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert s2["n_neardup_rows"] == 200 and s2["neardup_resumed"]
+
+
+def test_run_pipeline_clean_and_snapshot(tmp_path):
+    """--clean gates pages through keep_filter (strict defaults drop the
+    deliberately repetitive fixture corpus entirely; a relaxed dup bound
+    lets it through unchanged), and --snapshot-table commits the canonical
+    triples as a versioned snapshot."""
+    import json
+    import subprocess
+    import sys
+
+    outdir = str(tmp_path / "kgout_clean")
+    table = str(tmp_path / "kgtable")
+    base = [
+        sys.executable, "scripts/run_pipeline.py",
+        "--synthetic", "200", "--cores", "4", "--clean",
+        "--snapshot-table", table,
+    ]
+    r1 = subprocess.run(
+        base + ["--output", outdir, "--clean-max-dup-frac", "0.95"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["n_triples"] > 0 and s1["snapshot_id"] == 1
+    r2 = subprocess.run(
+        base + ["--output", str(tmp_path / "kgout_strict")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    # strict defaults: the synthetic corpus is all bigram-repetitive
+    assert s2["n_triples"] == 0 and s2["snapshot_id"] == 2
