@@ -1513,6 +1513,15 @@ def q_ts_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logppl(_docs(spark, sf_dir), alpha=0.5)
 
 
+def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (r4): banded candidates + one bit_count(XOR)
+    confirm; recall exactly 1 for max_hamming < bands (pigeonhole), so the
+    brute-force oracle must match row-for-row."""
+    from pmcanalysis_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, bands=4)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1606,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_keep_filter": q_ts_keep_filter,
         "ts_source_stats": q_ts_source_stats,
         "ts_unigram_logppl": q_ts_unigram_logppl,
+        "dd_simhash_pairs": q_dd_simhash_pairs,
     }
 
 
@@ -2142,26 +2152,17 @@ def oracle_sql() -> dict[str, str]:
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         """,
-        "dd_simhash": """
-          WITH toks AS (
-            SELECT DISTINCT doc_id, tok FROM (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-            ) WHERE tok <> ''
-          ),
-          hashed AS (
-            SELECT doc_id,
-              CAST(concat('0x', substr(md5(concat('0', '|', tok)), 1, 15)) AS BIGINT) AS h
-            FROM toks
-          ),
-          votes AS (
-            SELECT doc_id, CAST(bit AS INT) AS bit,
-                   CAST(SUM(((h >> CAST(bit AS INT)) & 1) * 2 - 1) AS BIGINT) AS v
-            FROM hashed CROSS JOIN range(60) AS t(bit)
-            GROUP BY doc_id, bit
-          )
-          SELECT doc_id,
-                 CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
-          FROM votes GROUP BY doc_id
+        "dd_simhash": _SIMHASH_SQL,
+        # brute-force all-pairs scan — legitimate as an ORACLE because for
+        # max_hamming=3 < bands=4 the pigeonhole principle makes the banded
+        # Spark path's recall exactly 1, so banded == brute by theorem
+        "dd_simhash_pairs": f"""
+          WITH sh AS ({_SIMHASH_SQL})
+          SELECT a_id, b_id, hamming FROM (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          ) WHERE hamming <= 3
         """,
         "dd_embedding_neardup": """
           WITH v AS (
@@ -2726,6 +2727,28 @@ _LANG_ID_SQL = f"""
       )
     )
   )
+"""
+
+_SIMHASH_SQL = """
+  WITH toks AS (
+    SELECT DISTINCT doc_id, tok FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ) WHERE tok <> ''
+  ),
+  hashed AS (
+    SELECT doc_id,
+      CAST(concat('0x', substr(md5(concat('0', '|', tok)), 1, 15)) AS BIGINT) AS h
+    FROM toks
+  ),
+  votes AS (
+    SELECT doc_id, CAST(bit AS INT) AS bit,
+           CAST(SUM(((h >> CAST(bit AS INT)) & 1) * 2 - 1) AS BIGINT) AS v
+    FROM hashed CROSS JOIN range(60) AS t(bit)
+    GROUP BY doc_id, bit
+  )
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
 """
 
 _REPETITION_SQL = """

@@ -750,3 +750,68 @@ def span_dup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    impl: str = "packed",
+    materialize: bool = True,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (a_id, b_id, hamming) for every doc
+    pair whose 60-bit simhashes differ in <= ``max_hamming`` bits —
+    completing the SimHash family (``simhash64`` computes signatures; this
+    finds the pairs, the way Manku/Jain/Sarma's web-crawl dedup does).
+
+    Candidates by banding: the signature splits into ``bands`` exact-match
+    bands (60/bands bits each); docs colliding on ANY band are candidates,
+    then one bit_count(XOR) confirms. For max_hamming < bands the pigeonhole
+    principle makes recall EXACTLY 1 (d differing bits cannot touch all
+    ``bands`` bands), so the output equals the brute-force all-pairs scan —
+    which is what the DuckDB oracle runs. Work ∝ band-bucket collisions
+    (shuffle key = 15-bit band value, well-distributed by the hash), never
+    the n² scan. ``materialize`` persists the signature table, which both
+    join sides reference (Catalyst won't CSE the 61-aggregate groupBy)."""
+    from pyspark.storagelevel import StorageLevel
+
+    assert max_hamming < bands, "pigeonhole recall guarantee needs d < bands"
+    bits = 60 // bands
+    sig = simhash64(docs, id_col, text_col, impl=impl)
+    if materialize:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    mask = (1 << bits) - 1
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * bits)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("_sa"),
+        "band", "bucket",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("_sb"),
+        "band", "bucket",
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "_sa", "_sb")
+        .distinct()
+    )
+    return cand.select(
+        "a_id",
+        "b_id",
+        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -389,3 +389,31 @@ def test_repeated_spans_and_dup_stats(spark):
     assert stats[3][1] >= 2
     # doc 5 has no 4-token span -> no row
     assert 5 not in stats
+
+
+def test_simhash_pairs_equals_bruteforce(spark):
+    """With max_hamming < bands the banded path has guaranteed recall 1
+    (pigeonhole), so its output must EQUAL the brute-force all-pairs scan
+    on the sf0.001 corpus — including the hamming values."""
+    from pmcanalysis_spark.operators.dedup import simhash64, simhash_pairs
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in simhash_pairs(docs, max_hamming=3, bands=4).collect()
+    )
+    sig = simhash64(docs)
+    a = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sb"))
+    brute = sorted(
+        tuple(r)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    )
+    assert got == brute and len(got) > 0
