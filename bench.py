@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "kg_degree",
     "kg_triangles",
     "ts_keep_filter",
+    "ts_unigram_logppl",
+    "dd_simhash_pairs",
 ]
 
 
