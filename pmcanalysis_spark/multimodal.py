@@ -100,10 +100,16 @@ def _pnm_header(payload: bytes):
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
     """PNG scanline unfilter (spec §6): each row is 1 filter-type byte +
     ``stride`` filtered bytes; filters 0-4 (None/Sub/Up/Average/Paeth)
-    reconstruct against the left/up/up-left neighbors. Sequential by
-    construction (Sub/Paeth depend on the just-reconstructed left byte), so
-    this is a per-byte Python loop — fine for the thumbnail/feature sizes
-    this module decodes; real bulk decode belongs to a codec library."""
+    reconstruct against the left/up/up-left neighbors.
+
+    Filters 0 (None) and 2 (Up) have NO intra-row dependency, so those rows
+    reconstruct as one numpy add over the whole row (~50x the byte loop —
+    and they are what most encoders emit for photographic rows). Filters
+    1/3/4 depend on the just-reconstructed left byte and stay sequential
+    per byte — measured rates in PLANS.md "Media decode budget"; real bulk
+    decode belongs to a codec library (the ``decoder=`` hook)."""
+    import numpy as np
+
     out = bytearray(h * stride)
     pos = 0
     for y in range(h):
@@ -111,14 +117,27 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
         pos += 1
         rs = y * stride
         ps = rs - stride
+        if ft == 0:
+            out[rs : rs + stride] = raw[pos : pos + stride]
+            pos += stride
+            continue
+        if ft == 2:
+            row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos)
+            if y > 0:
+                prev = np.frombuffer(
+                    bytes(out[ps : ps + stride]), dtype=np.uint8
+                )
+                out[rs : rs + stride] = (row + prev).tobytes()  # uint8 wraps
+            else:
+                out[rs : rs + stride] = row.tobytes()
+            pos += stride
+            continue
         for x in range(stride):
             v = raw[pos + x]
             a = out[rs + x - bpp] if x >= bpp else 0
             b = out[ps + x] if y > 0 else 0
             if ft == 1:
                 v = (v + a) & 0xFF
-            elif ft == 2:
-                v = (v + b) & 0xFF
             elif ft == 3:
                 v = (v + ((a + b) >> 1)) & 0xFF
             elif ft == 4:
