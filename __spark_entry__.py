@@ -1513,6 +1513,57 @@ def q_ts_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logppl(_docs(spark, sf_dir), alpha=0.5)
 
 
+def q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (r4): 30-min inactivity starts a new
+    session; per-user ordered window, deterministic (ts, event_id) order."""
+    from pmcanalysis_spark.operators.events import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_seconds=1800).select(
+        "event_id", "user_id", "session_seq", "session_id"
+    )
+
+
+def q_ev_asof_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (r4): every event joined to the user's most recent
+    strictly-prior 'click' — the trade⋈quote shape as one per-key window,
+    no join operator at all."""
+    from pmcanalysis_spark.operators.events import asof_join_prior
+
+    return asof_join_prior(_t(spark, sf_dir, "events"), match_type="click").select(
+        "event_id", "user_id", "asof_event_id", "asof_value"
+    )
+
+
+def q_ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (r4): events whose value falls inside the
+    [value, value+2] band of an early-user error event — executed as an
+    equi-join on bins (plan-contract: no nested loop), oracle is the naive
+    theta join."""
+    from pmcanalysis_spark.operators.events import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select(F.col("event_id").alias("pid"), F.col("value").alias("x"))
+    intervals = ev.filter(
+        (F.col("event_type") == "error") & (F.col("user_id") < 3)
+    ).select(
+        F.col("event_id").alias("iid"),
+        F.col("value").alias("lo"),
+        (F.col("value") + 2.0).alias("hi"),
+    )
+    out = range_join_binned(points, intervals, bin_width=2.0)
+    return out.select(
+        "pid", "iid", F.round("x", 6).alias("x"), F.round("lo", 6).alias("lo")
+    )
+
+
+def q_ev_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup (r4): hour + day + grand-total grains from
+    ONE pass (GROUP BY ROLLUP), labeled by grain."""
+    from pmcanalysis_spark.operators.events import rollup_multigrain
+
+    return rollup_multigrain(_t(spark, sf_dir, "events"))
+
+
 def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (r4): banded candidates + one bit_count(XOR)
     confirm; recall exactly 1 for max_hamming < bands (pigeonhole), so the
@@ -1616,6 +1667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_source_stats": q_ts_source_stats,
         "ts_unigram_logppl": q_ts_unigram_logppl,
         "dd_simhash_pairs": q_dd_simhash_pairs,
+        "ev_sessionize": q_ev_sessionize,
+        "ev_asof_prior": q_ev_asof_prior,
+        "ev_range_join": q_ev_range_join,
+        "ev_rollup_multigrain": q_ev_rollup_multigrain,
     }
 
 
@@ -2642,6 +2697,63 @@ def oracle_sql() -> dict[str, str]:
           FROM per_doc d LEFT JOIN per_rep r ON r.doc_id = d.doc_id
         """,
         "ts_keep_filter": _KEEP_SQL,
+        "ev_sessionize": """
+          SELECT event_id, user_id,
+                 session_seq,
+                 concat(CAST(user_id AS VARCHAR), '#',
+                        CAST(session_seq AS VARCHAR)) AS session_id
+          FROM (
+            SELECT event_id, user_id,
+              CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS session_seq
+            FROM (
+              SELECT event_id, user_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL
+                     OR CAST(floor(epoch(ts)) AS BIGINT)
+                        - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id))) AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+            )
+          )
+        """,
+        "ev_asof_prior": """
+          SELECT event_id, user_id,
+            last_value(CASE WHEN event_type = 'click' THEN event_id END
+                       IGNORE NULLS) OVER w AS asof_event_id,
+            ROUND(last_value(CASE WHEN event_type = 'click' THEN value END
+                             IGNORE NULLS) OVER w, 6) AS asof_value
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
+        # the naive theta join IS the oracle; the Spark side must produce
+        # the identical pair set via the binned equi-join
+        "ev_range_join": """
+          SELECT p.event_id AS pid, i.event_id AS iid,
+                 ROUND(p.value, 6) AS x, ROUND(i.value, 6) AS lo
+          FROM events p
+          JOIN (SELECT * FROM events
+                WHERE event_type = 'error' AND user_id < 3) i
+            ON p.value >= i.value AND p.value <= i.value + 2
+        """,
+        "ev_rollup_multigrain": """
+          SELECT day, hour,
+                 CASE WHEN day IS NULL THEN 'total'
+                      WHEN hour IS NULL THEN 'day'
+                      ELSE 'hour' END AS grain,
+                 COUNT(*) AS n_events,
+                 ROUND(CAST(SUM(CAST(value AS DECIMAL(28, 6))) AS DOUBLE), 6)
+                   AS sum_value
+          FROM (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(hour(ts) AS INT) AS hour, value
+            FROM events
+          )
+          GROUP BY ROLLUP(day, hour)
+        """,
         "ts_unigram_logppl": """
           WITH t AS (
             SELECT doc_id, token FROM (
