@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "ts_keep_filter",
     "ts_unigram_logppl",
     "dd_simhash_pairs",
+    "ev_sessionize",
+    "ev_asof_prior",
+    "ev_range_join",
+    "ev_rollup_multigrain",
 ]
 
 
