@@ -1564,6 +1564,14 @@ def q_ev_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_multigrain(_t(spark, sf_dir, "events"))
 
 
+def q_ts_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget subsampling (r4): greedy prefix in md5-hash
+    order until 400 tokens per source — the data-mixing cap."""
+    from pmcanalysis_spark.operators.textstats import token_budget_sample
+
+    return token_budget_sample(_docs(spark, sf_dir), budget_tokens=400)
+
+
 def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (r4): banded candidates + one bit_count(XOR)
     confirm; recall exactly 1 for max_hamming < bands (pigeonhole), so the
@@ -1671,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof_prior": q_ev_asof_prior,
         "ev_range_join": q_ev_range_join,
         "ev_rollup_multigrain": q_ev_rollup_multigrain,
+        "ts_token_budget": q_ts_token_budget,
     }
 
 
@@ -2738,6 +2747,24 @@ def oracle_sql() -> dict[str, str]:
           JOIN (SELECT * FROM events
                 WHERE event_type = 'error' AND user_id < 3) i
             ON p.value >= i.value AND p.value <= i.value + 2
+        """,
+        "ts_token_budget": """
+          WITH base AS (
+            SELECT doc_id, source,
+              len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+              CAST(concat('0x', substr(md5(concat('17', '|',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+            FROM documents
+          ),
+          c AS (
+            SELECT doc_id, source, n_tokens,
+              CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_tokens
+            FROM base
+          )
+          SELECT doc_id, source, n_tokens, cum_tokens
+          FROM c WHERE cum_tokens <= 400
         """,
         "ev_rollup_multigrain": """
           SELECT day, hour,

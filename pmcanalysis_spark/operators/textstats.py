@@ -615,3 +615,49 @@ def unigram_logppl(
             ).alias("logppl"),
         )
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 17,
+) -> DataFrame:
+    """Per-source token-budget subsampling — the data-mixing step that caps
+    each source's contribution to a training mix: within every source,
+    documents are taken in a deterministic pseudo-random order (the md5
+    bucket of the doc id — reshuffling the corpus cannot change the
+    selection) until the NEXT document would exceed ``budget_tokens``;
+    (doc_id, source, n_tokens, cum_tokens) for the selected docs.
+
+    The greedy prefix is exact, not approximate: a per-source window cumsum
+    over the hash order, filter cum <= budget. One shuffle on the source
+    key; a source's rows sort within its own partitions (the window is
+    per-source, so no global ordering bottleneck — skewed sources bound by
+    their own row count). A doc larger than the remaining budget blocks
+    the prefix there (standard greedy-prefix semantics: budget is a hard
+    cap, not a target)."""
+    from pyspark.sql import Window
+
+    from .dedup import portable_hash64
+
+    n_tok = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("source"),
+        n_tok.alias("n_tokens"),
+        portable_hash64(F.col(id_col).cast("string"), seed).alias("_h"),
+    )
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    return (
+        base.withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

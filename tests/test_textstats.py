@@ -267,3 +267,29 @@ def test_unigram_logppl_reference(spark):
         assert got[d] == (len(ws), exp), (d, got[d], exp)
     # the rare-token doc is the most "perplexing"
     assert got[2][1] > got[1][1] and got[2][1] > got[3][1]
+
+
+def test_token_budget_sample(spark):
+    """Greedy per-source prefix under the hash order: budget respected
+    exactly, selection deterministic and independent of input order."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.textstats import token_budget_sample
+
+    rows = [(i, f"s{i % 2}", "tok " * (10 + i % 3)) for i in range(40)]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, s, t in rows], "doc_id long, text string, source string"
+    )
+    out = token_budget_sample(docs, budget_tokens=60).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, sel in by_src.items():
+        assert max(r.cum_tokens for r in sel) <= 60
+        # cum is consistent with the selected docs' own sizes
+        assert sum(r.n_tokens for r in sel) == max(r.cum_tokens for r in sel)
+    # deterministic under reshuffle
+    out2 = token_budget_sample(docs.orderBy(F.rand(123)), budget_tokens=60).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
