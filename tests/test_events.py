@@ -92,3 +92,33 @@ def test_rollup_multigrain(spark):
     assert by_key[("2024-01-01", 0)] == ("hour", 5, 15.0)
     assert by_key[("2024-01-01", None)] == ("day", 5, 15.0)
     assert by_key[(None, None)] == ("total", 5, 15.0)
+
+
+def test_sessionize_gap_property(spark):
+    """Invariant over a pseudo-random event stream: two consecutive events
+    of a user share a session IFF their gap <= gap_seconds; session_seq is
+    non-decreasing and starts at 1 per user."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 1, 1)
+    rows, t = [], {}
+    for i in range(300):
+        u = rng.randrange(5)
+        t[u] = t.get(u, t0) + dt.timedelta(seconds=rng.choice([30, 100, 500, 2000]))
+        rows.append((i, t[u], u))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = sorted(
+        sessionize(df, gap_seconds=600).collect(), key=lambda r: (r.user_id, r.ts)
+    )
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, evs in by_user.items():
+        assert evs[0].session_seq == 1
+        for a, b in zip(evs, evs[1:]):
+            gap = (b.ts - a.ts).total_seconds()
+            same = b.session_seq == a.session_seq
+            assert same == (gap <= 600), (u, gap, a.session_seq, b.session_seq)
+            assert b.session_seq in (a.session_seq, a.session_seq + 1)

@@ -84,3 +84,26 @@ def test_expire_snapshots(spark, tmp_path):
         t.snapshot(1)
     remaining = set(os.listdir(tmp_path / "t" / "data"))
     assert remaining == set(t.snapshot(3)["files"])
+
+
+def test_commit_retry_after_conflict(spark, tmp_path):
+    """The documented retry protocol: after CommitConflict, re-invoking
+    commit re-reads the new current version and lands as the next snapshot
+    with the winner's rows included (append semantics preserved)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3))
+    # writer A wins version 2 out-of-band (same files, fake append)
+    with open(str(tmp_path / "t" / "snapshots" / "v000002.json"), "w") as f:
+        json.dump({"snapshot_id": 2, "parent": 1, "operation": "append",
+                   "files": t.snapshot(1)["files"], "row_count": 3}, f)
+    with open(str(tmp_path / "t" / "_current.json"), "w") as f:
+        json.dump({"current": 2}, f)
+    with_retry = None
+    for _ in range(2):  # the retry loop a caller writes
+        try:
+            with_retry = t.commit(_df(spark, 10, 12), mode="append")
+            break
+        except CommitConflict:
+            continue
+    assert with_retry == 3
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 10, 11]
