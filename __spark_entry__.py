@@ -1564,6 +1564,15 @@ def q_ev_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_multigrain(_t(spark, sf_dir, "events"))
 
 
+def q_dd_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch similarity signal (r4): agreeing-slot fraction over
+    the LSH candidate pairs — the zero-extra-scan ranking tier between
+    candidates and the exact confirm."""
+    from pmcanalysis_spark.operators.dedup import minhash_jaccard_estimate
+
+    return minhash_jaccard_estimate(_docs(spark, sf_dir), num_hashes=16, bands=4)
+
+
 def q_ts_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget subsampling (r4): greedy prefix in md5-hash
     order until 400 tokens per source — the data-mixing cap."""
@@ -1680,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_range_join": q_ev_range_join,
         "ev_rollup_multigrain": q_ev_rollup_multigrain,
         "ts_token_budget": q_ts_token_budget,
+        "dd_minhash_est": q_dd_minhash_est,
     }
 
 
@@ -2747,6 +2757,49 @@ def oracle_sql() -> dict[str, str]:
           JOIN (SELECT * FROM events
                 WHERE event_type = 'error' AND user_id < 3) i
             ON p.value >= i.value AND p.value <= i.value + 2
+        """,
+        "dd_minhash_est": """
+          WITH sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+              SELECT doc_id,
+                array_to_string(toks[i : i + 2], ' ') AS shingle
+              FROM (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 2)) AS i
+                FROM documents
+              )
+              WHERE i + 2 <= len(toks)
+            )
+          ),
+          hashed AS (
+            SELECT doc_id,
+              CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+              CAST(concat('0x', substr(md5(shingle), 16, 15)) AS BIGINT) % (1::BIGINT << 57) AS h2
+            FROM sh
+          ),
+          slots AS (
+            SELECT doc_id, CAST(seed AS INT) AS i,
+                   MIN((h1 + seed * h2) % 2305843009213693951) AS mh
+            FROM hashed CROSS JOIN range(16) AS t(seed)
+            GROUP BY doc_id, seed
+          ),
+          buckets AS (
+            SELECT doc_id, i // 4 AS band,
+                   array_to_string(list(CAST(mh AS VARCHAR) ORDER BY i), ',') AS bucket
+            FROM slots GROUP BY doc_id, i // 4
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          )
+          SELECT c.a_id, c.b_id,
+                 ROUND(CAST(COUNT(*) FILTER (WHERE sa.mh = sb.mh) AS DOUBLE) / 16, 6)
+                   AS est_jaccard
+          FROM cand c
+          JOIN slots sa ON sa.doc_id = c.a_id
+          JOIN slots sb ON sb.doc_id = c.b_id AND sb.i = sa.i
+          GROUP BY c.a_id, c.b_id
         """,
         "ts_token_budget": """
           WITH base AS (

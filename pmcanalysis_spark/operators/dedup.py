@@ -815,3 +815,78 @@ def simhash_pairs(
         "b_id",
         F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def minhash_jaccard_estimate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """(a_id, b_id, est_jaccard) for LSH candidate pairs: the MinHash
+    sketch's similarity SIGNAL — fraction of agreeing signature slots. The
+    cheap middle tier between raw candidates and the exact shingle-join
+    confirm of ``neardup_text_scalable``: rank or pre-filter candidates on
+    the estimate (zero additional corpus access — the signatures already
+    exist) and reserve the exact confirm for the survivors. Pure column
+    algebra: candidate equi-join on (band, bucket), then one zip_with over
+    the two signature arrays.
+
+    Calibration caveat (measured, tested): this module's permutations are
+    the affine family g_i = (h1 + i·h2) from ONE md5 per shingle, so slots
+    are CORRELATED — the textbook "agreement fraction is unbiased for
+    Jaccard" only holds for independent permutations. In practice the
+    estimate is accurate for similar pairs (MAE ~0.10 at exact >= 0.4 on
+    the fixture corpus, 16 slots) and upward-biased for dissimilar ones —
+    monotone enough to RANK candidates (tested), not to report as a
+    calibrated Jaccard. For calibrated estimates pay num_hashes independent
+    md5s per shingle; for exact values run the confirm stage."""
+    from pyspark.storagelevel import StorageLevel
+
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, shingles_df)
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)  # both join sides
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("_sa"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("_sb"), "band", "bucket"
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "_sa", "_sb")
+        .distinct()
+        .select(
+            "a_id",
+            "b_id",
+            F.round(agree.cast("double") / num_hashes, 6).alias("est_jaccard"),
+        )
+    )
