@@ -1488,6 +1488,24 @@ def q_dd_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(_docs(spark, sf_dir), span_len=8, min_count=2)
 
 
+def q_dd_repeated_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length substring dedup (r5): adjacent repeated 8-token
+    windows coalesce into MAXIMAL repeated runs per doc — what a cutter
+    needs (one boilerplate block = one row with exact token boundaries)."""
+    from pmcanalysis_spark.operators.dedup import repeated_runs
+
+    return repeated_runs(_docs(spark, sf_dir), span_len=8, min_count=2)
+
+
+def q_dd_cut_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable cut (r5): remove every repeated run's tokens from the
+    text — (doc_id, clean_text, n_tokens_cut), deterministic all-copies
+    semantics, pure column algebra (F.filter with index lambda)."""
+    from pmcanalysis_spark.operators.dedup import cut_repeated_runs
+
+    return cut_repeated_runs(_docs(spark, sf_dir), span_len=8, min_count=2)
+
+
 def q_ts_keep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4/Gopher-style keep/drop endgame (r4): all cleaning rules in
     one narrow zero-shuffle select, reasons recorded per doc."""
@@ -1600,7 +1618,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver gates only the FIRST 50 registry entries, so gate membership
+    # is a deliberate documented rotation (COVERAGE.md "Driver-gate rotation").
+    # r5 rotation (VERDICT r4 next-step #1): the 18 queries that had never
+    # earned a driver CORRECTNESS row (ts_pack_sequences .. dd_minhash_est,
+    # the four ev_* event-time ops) move INTO the top 50, plus the 2 NEW r5
+    # queries (dd_repeated_runs, dd_cut_runs). Displaced: 20 veterans with
+    # 3-4 green driver rounds each (kg_ closure/rollup/rank variants,
+    # ts_token_count/quality/lang_id/fingerprint/repetition, dd_exact_dedup/
+    # ngram_jaccard/minhash/simhash, join_anti_gold ...) — all remain in the
+    # registry and are exercised by the full-registry local oracle replica
+    # (tests/test_entry.py runs EVERY entry against DuckDB at two SFs).
     return {
+        # -- core KG family (kept in-gate: flagship + closure + serving) --
         "kg_mentions_docfreq": q_kg_mentions_docfreq,
         "kg_corpus_size": q_kg_corpus_size,
         "kg_pair_counts": q_kg_pair_counts,
@@ -1610,26 +1640,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_owl_closure": q_kg_owl_closure,
         "kg_serving_ranked": q_kg_serving_ranked,
         "kg_obo_docfreq": q_kg_obo_docfreq,
-        "kg_hierarchy_rollup": q_kg_hierarchy_rollup,
-        "kg_leaf_terms": q_kg_leaf_terms,
-        "kg_topk_pairs": q_kg_topk_pairs,
-        "kg_normalized_rank": q_kg_normalized_rank,
-        "kg_npmi_band": q_kg_npmi_band,
-        "kg_min_cooc": q_kg_min_cooc,
         "kg_auc": q_kg_auc,
         "kg_cutoff_auc": q_kg_cutoff_auc,
         "kg_connected_components": q_kg_connected_components,
-        "kg_doc_tags": q_kg_doc_tags,
-        "kg_mention_totals": q_kg_mention_totals,
         "kg_serving_conjunction": q_kg_serving_conjunction,
-        # r4 rotation: the driver gates only the first 50 registry entries, so the
-        # seven queries that had never received a driver CORRECTNESS row
-        # (ev_topk_users, ts_pii_redact, ts_vocab_encode, mm_* x4) are rotated into
-        # the top 50 here; seven variants with 2+ green rounds on record
-        # (join_left_outer_coalesce, sample_systematic, limit_parity, f_iri_curie,
-        # kg_triples_named, lex_autocomplete, dd_embedding_neardup) move to the
-        # tail and stay covered by the local oracle replica (tests/test_entry.py).
-        # See COVERAGE.md "Driver-gate rotation" for the full table.
+        # -- r4 rotations staying for a 2nd driver round --
         "ev_topk_users": q_ev_topk_users,
         "ts_pii_redact": q_ts_pii_redact,
         "ts_vocab_encode": q_ts_vocab_encode,
@@ -1637,41 +1652,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_features": q_mm_image_features,
         "mm_audio_features": q_mm_audio_features,
         "mm_video_frames": q_mm_video_frames,
-        "join_anti_gold": q_join_anti_gold,
-        "kg_pair_counts_salted": q_kg_pair_counts_salted,
-        "kg_term_canonical": q_kg_term_canonical,
-        "kg_sent_occurrence": q_kg_sent_occurrence,
-        "kg_sent_pairs": q_kg_sent_pairs,
+        # -- ANN / linking / scale-path dedup (kept in-gate) --
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "link_scores": q_link_scores,
-        "dd_exact_dedup": q_dd_exact_dedup,
-        "dd_ngram_jaccard": q_dd_ngram_jaccard,
-        "dd_minhash": q_dd_minhash,
         "dd_minhash_lsh_pairs": q_dd_minhash_lsh_pairs,
         "dd_text_neardup_scalable": q_dd_text_neardup_scalable,
         "dd_text_neardup_clusters": q_dd_text_neardup_clusters,
-        "dd_simhash": q_dd_simhash,
         "dd_embedding_neardup_scalable": q_dd_embedding_neardup_scalable,
-        "ts_token_count": q_ts_token_count,
-        "ts_quality": q_ts_quality,
-        "ts_lang_id": q_ts_lang_id,
-        "ts_fingerprint": q_ts_fingerprint,
-        "ts_repetition": q_ts_repetition,
         "ts_top_ngrams": q_ts_top_ngrams,
-        # --- position 51+ (driver-ungated this round; local oracle replica only) ---
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "tpch_pricing_summary": q_tpch_pricing_summary,
-        "tpch_join_agg": q_tpch_join_agg,
-        "ev_daily_counts": q_ev_daily_counts,
-        "join_left_outer_coalesce": q_join_left_outer_coalesce,
-        "sample_systematic": q_sample_systematic,
-        "limit_parity": q_limit_parity,
-        "f_iri_curie": q_f_iri_curie,
-        "kg_triples_named": q_kg_triples_named,
-        "lex_autocomplete": q_lex_autocomplete,
-        "dd_embedding_neardup": q_dd_embedding_neardup,
-        # --- new in r4 (enter the driver gate on a future rotation) ---
+        # -- rotated IN for r5: never driver-gated before (r4 additions) --
         "ts_pack_sequences": q_ts_pack_sequences,
         "ts_stratified_sample": q_ts_stratified_sample,
         "dd_url_dedup": q_dd_url_dedup,
@@ -1690,6 +1680,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rollup_multigrain": q_ev_rollup_multigrain,
         "ts_token_budget": q_ts_token_budget,
         "dd_minhash_est": q_dd_minhash_est,
+        # -- NEW in r5 (gated in their first round) --
+        "dd_repeated_runs": q_dd_repeated_runs,
+        "dd_cut_runs": q_dd_cut_runs,
+        # --- position 51+ (driver-ungated this round; every entry below is
+        # --- green in the full-registry local oracle replica and has >= 2
+        # --- green driver rounds on record, see COVERAGE.md) ---
+        "kg_hierarchy_rollup": q_kg_hierarchy_rollup,
+        "kg_leaf_terms": q_kg_leaf_terms,
+        "kg_topk_pairs": q_kg_topk_pairs,
+        "kg_normalized_rank": q_kg_normalized_rank,
+        "kg_npmi_band": q_kg_npmi_band,
+        "kg_min_cooc": q_kg_min_cooc,
+        "kg_doc_tags": q_kg_doc_tags,
+        "kg_mention_totals": q_kg_mention_totals,
+        "join_anti_gold": q_join_anti_gold,
+        "kg_pair_counts_salted": q_kg_pair_counts_salted,
+        "kg_term_canonical": q_kg_term_canonical,
+        "kg_sent_occurrence": q_kg_sent_occurrence,
+        "kg_sent_pairs": q_kg_sent_pairs,
+        "dd_exact_dedup": q_dd_exact_dedup,
+        "dd_ngram_jaccard": q_dd_ngram_jaccard,
+        "dd_minhash": q_dd_minhash,
+        "dd_simhash": q_dd_simhash,
+        "ts_token_count": q_ts_token_count,
+        "ts_quality": q_ts_quality,
+        "ts_lang_id": q_ts_lang_id,
+        "ts_fingerprint": q_ts_fingerprint,
+        "ts_repetition": q_ts_repetition,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_join_agg": q_tpch_join_agg,
+        "ev_daily_counts": q_ev_daily_counts,
+        "join_left_outer_coalesce": q_join_left_outer_coalesce,
+        "sample_systematic": q_sample_systematic,
+        "limit_parity": q_limit_parity,
+        "f_iri_curie": q_f_iri_curie,
+        "kg_triples_named": q_kg_triples_named,
+        "lex_autocomplete": q_lex_autocomplete,
+        "dd_embedding_neardup": q_dd_embedding_neardup,
     }
 
 
@@ -2714,6 +2743,79 @@ def oracle_sql() -> dict[str, str]:
                  ROUND(CAST(COALESCE(r.n_repeated, 0) AS DOUBLE) / d.n_spans, 6)
                    AS dup_frac
           FROM per_doc d LEFT JOIN per_rep r ON r.doc_id = d.doc_id
+        """,
+        "dd_repeated_runs": _SPAN_OCC_SQL + """,
+          rep AS (SELECT span FROM occ GROUP BY span HAVING COUNT(*) >= 2),
+          flagged AS (
+            SELECT doc_id, i - 1 AS pos FROM occ
+            WHERE span IN (SELECT span FROM rep)
+          ),
+          marked AS (
+            SELECT doc_id, pos,
+              CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        > 8 THEN 1 ELSE 0 END AS new_run
+            FROM flagged
+          ),
+          runs AS (
+            SELECT doc_id, pos,
+              SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+            FROM marked
+          )
+          SELECT doc_id,
+                 CAST(MIN(pos) AS BIGINT) AS start_token,
+                 CAST(MAX(pos) + 8 AS BIGINT) AS end_token,
+                 CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS n_tokens
+          FROM runs GROUP BY doc_id, run_id
+        """,
+        "dd_cut_runs": _SPAN_OCC_SQL + """,
+          rep AS (SELECT span FROM occ GROUP BY span HAVING COUNT(*) >= 2),
+          flagged AS (
+            SELECT doc_id, i - 1 AS pos FROM occ
+            WHERE span IN (SELECT span FROM rep)
+          ),
+          marked AS (
+            SELECT doc_id, pos,
+              CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        > 8 THEN 1 ELSE 0 END AS new_run
+            FROM flagged
+          ),
+          runs AS (
+            SELECT doc_id, pos,
+              SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+            FROM marked
+          ),
+          run_intervals AS (
+            SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+            FROM runs GROUP BY doc_id, run_id
+          ),
+          toks AS (
+            SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+          ),
+          kept AS (
+            SELECT tk.doc_id, tk.tok, tk.i FROM toks tk
+            WHERE NOT EXISTS (
+              SELECT 1 FROM run_intervals ri
+              WHERE ri.doc_id = tk.doc_id
+                AND tk.i - 1 >= ri.s AND tk.i - 1 < ri.e
+            )
+          ),
+          agg AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+          ),
+          tot AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_toks
+            FROM documents
+          )
+          SELECT t.doc_id,
+                 COALESCE(a.clean_text, '') AS clean_text,
+                 CAST(t.n_toks - COALESCE(a.n_kept, 0) AS BIGINT)
+                   AS n_tokens_cut
+          FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
         """,
         "ts_keep_filter": _KEEP_SQL,
         "ev_sessionize": """

@@ -96,13 +96,14 @@ def _run_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def _author_skew_probe(spark) -> float:
     """Author canonicalization under a planted mega-key: one 'j smith'
-    author_key with 10k records next to 2000 well-behaved 5-record keys.
-    Uncapped, the mega-key alone would be ~50M within-group pair scores;
-    max_group_size=1000 drops it from pairing (its docs become singletons
-    via the CC vertex set) so the wall prices the real keys — proving the
-    skew guard holds wall-time, not just pytest-scale semantics. Returns
-    the wall; asserts the expected output shape so a silently-broken cap
-    can't post a fast-but-wrong number."""
+    author_key with 10k records (10x OVER the max_group_size=1000 cap) next
+    to 2000 well-behaved 5-record keys. Uncapped, the mega-key alone would
+    be ~50M within-group pair scores; the r5 blocking path sub-keys it by
+    coauthor MinHash into 32 blocks of ~312 records, so it pays ~1.5M
+    blocked pair scores and RECOVERS the 32 coauthor sub-entities instead
+    of dropping the key (r4 behavior: 10k silent singletons). Returns the
+    wall; asserts the recovered entity structure so a silently-broken
+    blocking path can't post a fast-but-wrong number."""
     from pyspark.sql import functions as F
 
     from pmcanalysis_spark.canonicalize import canonicalize_authors
@@ -110,7 +111,7 @@ def _author_skew_probe(spark) -> float:
     mega = spark.range(10_000).select(
         F.concat(F.lit("m"), F.col("id")).alias("doc_id"),
         F.lit("j smith").alias("author_key"),
-        F.array(F.concat(F.lit("co"), F.pmod("id", F.lit(7)))).alias("coauthors"),
+        F.array(F.concat(F.lit("co"), F.pmod("id", F.lit(32)))).alias("coauthors"),
         F.array(F.lit("oncology"), F.concat(F.lit("mesh"), F.pmod("id", F.lit(5)))).alias("mesh"),
         F.split(F.lit("deep sequencing of tumor samples"), " ").alias("title_tokens"),
         F.split(F.concat(F.lit("dept "), F.pmod("id", F.lit(3))), " ").alias("affiliation_tokens"),
@@ -132,8 +133,9 @@ def _author_skew_probe(spark) -> float:
     )
     rows = {r["author_key"]: (r["n_entities"], r["n_docs"]) for r in agg.collect()}
     wall = time.perf_counter() - t0
-    # mega key dropped from pairing -> every doc its own entity
-    assert rows["j smith"] == (10_000, 10_000)
+    # mega key blocked (not dropped): the 32 coauthor sub-entities are
+    # recovered, and no record vanished
+    assert rows["j smith"] == (32, 10_000)
     # each 5-record key shares identical features -> one entity
     assert rows["author_0"] == (1, 5) and len(rows) == 2001
     return wall

@@ -14,8 +14,10 @@ a superset of any greedy clustering of the same edge set.
 
 Scale notes: the pairwise scorer self-joins within author_key — groups are
 small (papers per author name), so the join explodes only within groups and
-the shuffle key is author_key (salt if a "j smith" mega-key ever shows up —
-the group cross-product is capped defensively via max_group_size). Label
+the shuffle key is author_key. A "j smith" mega-key (> max_group_size
+records) is never dropped and never fully crossed: it is sub-keyed by a
+coauthor-MinHash block so the n² is per block, with `mega_key_stats` as the
+lineage surface for which keys took that path (see pair_scores). Label
 propagation with the pointer-doubling compression step converges in
 O(log d) iterations for diameter d; each iteration is two shuffles; we
 localCheckpoint every few iterations to truncate lineage.
@@ -82,21 +84,10 @@ def author_records_from_raw(raw: DataFrame) -> DataFrame:
     )
 
 
-def pair_scores(
-    records: DataFrame,
-    max_group_size: int = 10000,
-) -> DataFrame:
-    """author_records -> all within-key doc pairs with the four Jaccard
-    features and the F6 combined score.
-
-    F6 (/root/reference/Author2PMID.groovy:30-40): simm = geometric mean of
-    the NONZERO features only — pow(prod(nonzero), 1/count(nonzero)), 0 when
-    all four are zero. Computed as exp(mean(ln x)) over the filtered array:
-    pure Column algebra, stays inside codegen.
-    """
-    wcount = F.count("*").over(Window.partitionBy("author_key"))
-    bounded = records.withColumn("_gs", wcount).filter(F.col("_gs") <= max_group_size).drop("_gs")
-    a = bounded.select(
+def _feature_sides(recs: DataFrame):
+    """Project the feature columns into the two join sides of the pairwise
+    scorer (src/dst naming)."""
+    a = recs.select(
         F.col("author_key"),
         F.col("doc_id").alias("src"),
         F.col("coauthors").alias("co_a"),
@@ -104,7 +95,7 @@ def pair_scores(
         F.col("title_tokens").alias("ti_a"),
         F.col("affiliation_tokens").alias("af_a"),
     )
-    b = bounded.select(
+    b = recs.select(
         F.col("author_key"),
         F.col("doc_id").alias("dst"),
         F.col("coauthors").alias("co_b"),
@@ -112,7 +103,18 @@ def pair_scores(
         F.col("title_tokens").alias("ti_b"),
         F.col("affiliation_tokens").alias("af_b"),
     )
-    pairs = a.join(b, "author_key").filter(F.col("src") < F.col("dst"))
+    return a, b
+
+
+def _score_pairs(pairs: DataFrame) -> DataFrame:
+    """Append the four Jaccard feature scores + the F6 geometric-mean simm
+    to a joined pair frame carrying co_a..af_b.
+
+    F6 (/root/reference/Author2PMID.groovy:30-40): simm = geometric mean of
+    the NONZERO features only — pow(prod(nonzero), 1/count(nonzero)), 0 when
+    all four are zero. Computed as exp(mean(ln x)) over the filtered array:
+    pure Column algebra, stays inside codegen.
+    """
     co = _jaccard(F.col("co_a"), F.col("co_b"))
     me = _jaccard(F.col("mesh_a"), F.col("mesh_b"))
     ti = _jaccard(F.col("ti_a"), F.col("ti_b"))
@@ -142,6 +144,98 @@ def pair_scores(
     )
 
 
+def _block_expr(n_bands: int, blocking_col: str = "coauthors"):
+    """Blocking keys for a mega author_key record: one 1-permutation MinHash
+    of the blocking token set per band (band b salts the hash with b, so the
+    bands are independent permutations). A record with an EMPTY blocking set
+    gets a per-(doc, band) unique key — it can never meet a partner, i.e. it
+    degrades to a singleton rather than joining a catch-all mega block."""
+    # NB: the per-band lambda must stay single-parameter — F.transform treats
+    # a 2-arg lambda as (element, index), so a `_b=b` default would bind the
+    # array index, not the band salt, collapsing every band into one block
+    def band(b):
+        return lambda c: F.xxhash64(F.lit(b), c)
+
+    return F.array(*[
+        F.coalesce(
+            F.array_min(F.transform(F.col(blocking_col), band(b))),
+            F.xxhash64(F.lit(-1 - b), F.col("doc_id")),
+        )
+        for b in range(n_bands)
+    ])
+
+
+def mega_key_stats(records: DataFrame, max_group_size: int = 10000) -> DataFrame:
+    """Lineage surface for the mega-key path: (author_key, n_records) for
+    every author_key whose group exceeds ``max_group_size`` — the keys that
+    go through MinHash blocking instead of the full within-key cross product.
+    Callers materialize this next to the edges stage so a 'J. Smith' at
+    100x scale is visible in lineage, never silently re-routed."""
+    return (
+        records.groupBy("author_key")
+        .agg(F.count("*").alias("n_records"))
+        .filter(F.col("n_records") > max_group_size)
+    )
+
+
+def pair_scores(
+    records: DataFrame,
+    max_group_size: int = 10000,
+    n_blocking_bands: int = 4,
+    blocking_col: str = "coauthors",
+) -> DataFrame:
+    """author_records -> within-key doc pairs with the four Jaccard features
+    and the F6 combined score (see ``_score_pairs``).
+
+    Groups up to ``max_group_size`` records take the full within-key cross
+    product (reference semantics, Author2PMID.groovy:110-119). MEGA groups
+    (a 'J. Smith' at 100x scale) are NOT dropped: they are sub-keyed by a
+    coauthor MinHash block (``n_blocking_bands`` independent 1-perm bands),
+    pairs are generated only within (author_key, block), and the n² cost is
+    per block instead of per key. Recall on mega keys is bounded by blocking:
+    a pair is scored iff the two records share a min-coauthor-hash in some
+    band (P = coauthor-Jaccard per band) — same-person papers share
+    coauthors, which is exactly the reference's strongest attach signal
+    (coauthorscore > 0). Records with no coauthors degrade to singletons.
+    A block that is itself over ``max_group_size`` (a hub coauthor) is cut,
+    never partially exploded — surface those via ``mega_key_stats`` lineage.
+    """
+    wcount = F.count("*").over(Window.partitionBy("author_key"))
+    sized = records.withColumn("_gs", wcount)
+    small = sized.filter(F.col("_gs") <= max_group_size).drop("_gs")
+    a, b = _feature_sides(small)
+    scored = _score_pairs(a.join(b, "author_key").filter(F.col("src") < F.col("dst")))
+    if n_blocking_bands <= 0:
+        return scored
+
+    mega = sized.filter(F.col("_gs") > max_group_size).drop("_gs")
+    blocked = mega.withColumn(
+        "_block", F.explode(_block_expr(n_blocking_bands, blocking_col))
+    )
+    bcount = F.count("*").over(Window.partitionBy("author_key", "_block"))
+    blocked = (
+        blocked.withColumn("_bs", bcount)
+        .filter(F.col("_bs") <= max_group_size)
+        .drop("_bs")
+    )
+    # candidate ids first (distinct across bands — a pair meeting in two
+    # bands is scored once), then ONE feature join per side; the scorer is
+    # shared with the small-group path so the scores are bit-identical.
+    ca = blocked.select("author_key", "_block", F.col("doc_id").alias("src"))
+    cb = blocked.select("author_key", "_block", F.col("doc_id").alias("dst"))
+    cand = (
+        ca.join(cb, ["author_key", "_block"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("author_key", "src", "dst")
+        .distinct()
+    )
+    ma, mb = _feature_sides(mega)
+    mega_scored = _score_pairs(
+        cand.join(ma, ["author_key", "src"]).join(mb, ["author_key", "dst"])
+    )
+    return scored.unionByName(mega_scored)
+
+
 def similarity_edges(
     records: DataFrame,
     coauthor_thresh: float = 0.0,
@@ -149,15 +243,19 @@ def similarity_edges(
     title_thresh: float = 0.1,
     affil_thresh: float = 0.3,
     max_group_size: int = 10000,
+    n_blocking_bands: int = 4,
 ) -> DataFrame:
     """author_records -> edges(src, dst, simm) where any feature clears its
     threshold (the reference's attach condition, Author2PMID.groovy:134-144).
 
     Input schema: (doc_id, author_key, coauthors, mesh, title_tokens,
-    affiliation_tokens). Self-join within author_key with src < dst. The
-    simm column (F6 geometric mean) rides along as the edge weight.
+    affiliation_tokens). Self-join within author_key with src < dst (mega
+    keys via coauthor-MinHash blocking — see ``pair_scores``). The simm
+    column (F6 geometric mean) rides along as the edge weight.
     """
-    scored = pair_scores(records, max_group_size=max_group_size)
+    scored = pair_scores(
+        records, max_group_size=max_group_size, n_blocking_bands=n_blocking_bands
+    )
     similar = (
         (F.col("coauthorscore") > coauthor_thresh)
         | (F.col("meshscore") > mesh_thresh)

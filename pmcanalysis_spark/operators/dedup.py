@@ -26,7 +26,7 @@ and are exactly the quadratic-join fuel).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -749,6 +749,99 @@ def span_dup_stats(
                 F.coalesce("n_repeated", F.lit(0)).cast("double") / F.col("n_spans"), 6
             ).alias("dup_frac"),
         )
+    )
+
+
+def repeated_runs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal repeated runs per document: (doc_id, start_token, end_token,
+    n_tokens) where [start_token, end_token) is a MAXIMAL token interval
+    covered by corpus-repeated ``span_len``-windows — the variable-length
+    extension of ``repeated_spans`` (r5, VERDICT r4 #4). A 100-token
+    boilerplate block repeated across docs shows up as ONE run of ~100
+    tokens, not 93 overlapping 8-token rows, which is what a cutter needs
+    (suffix-array substring dedup intent, Lee et al. 2022; reference analog:
+    the containment filters behind MakeTrainingSet.groovy's dedup intent).
+
+    Interval algebra: windows at positions p < q overlap-or-adjoin in token
+    space iff q - p <= span_len, so a NEW run starts when the gap exceeds
+    span_len; run ids are a running sum of new-run flags (gaps-and-islands).
+    The window is partitioned by doc_id — per-doc sequential scan, no
+    SinglePartition — and the repeated-span semi-join shuffles on span text,
+    the same well-distributed key as every shingle stage."""
+    occ = span_occurrences(docs, id_col, text_col, span_len)
+    rep = (
+        occ.groupBy("span")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("span")
+    )
+    flagged = occ.join(rep, "span", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    new_run = F.when(
+        F.col("pos") - F.lag("pos").over(w) > span_len, F.lit(1)
+    ).otherwise(F.lit(0))
+    run_id = F.sum(new_run).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("_run", run_id)
+        .groupBy("doc_id", "_run")
+        .agg(
+            F.min("pos").cast("long").alias("start_token"),
+            (F.max("pos") + span_len).cast("long").alias("end_token"),
+        )
+        .select(
+            "doc_id",
+            "start_token",
+            "end_token",
+            (F.col("end_token") - F.col("start_token")).alias("n_tokens"),
+        )
+    )
+
+
+def cut_repeated_runs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cut every repeated run out of the text: (doc_id, clean_text,
+    n_tokens_cut). The aggressive per-doc cut (ALL copies lose the
+    duplicated tokens) — deterministic and order-free, unlike keep-one-copy
+    which needs a global owner election per run; compose with
+    ``neardup_text_clusters`` when one canonical copy should survive.
+
+    Plan: runs collapse to one array per doc (collect_list bounded by
+    runs-per-doc, intervals are disjoint by construction), ONE join back to
+    the docs, then pure column algebra — F.filter's (element, index) lambda
+    keeps tokens outside every cut interval; no Python UDF."""
+    runs = repeated_runs(docs, id_col, text_col, span_len, min_count)
+    per_doc = runs.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_token", "end_token")).alias("_runs")
+    )
+    joined = docs.join(
+        per_doc, docs[id_col] == per_doc.doc_id, "left"
+    ).drop(per_doc.doc_id)
+    toks = F.split(F.col(text_col), " ")
+    covered = lambda i: F.exists(
+        F.col("_runs"),
+        lambda r: (i >= r["start_token"]) & (i < r["end_token"]),
+    )
+    kept = F.when(F.col("_runs").isNull(), toks).otherwise(
+        F.filter(toks, lambda t, i: ~covered(i))
+    )
+    return joined.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_cut"),
     )
 
 

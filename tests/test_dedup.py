@@ -457,3 +457,84 @@ def test_minhash_jaccard_estimate(spark):
     )
     # every estimate is a multiple of 1/16 in [0, 1]
     assert all(0.0 <= v <= 1.0 and round(v * 16, 6) == round(v * 16) for v in est.values())
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_repeated_runs_planted_boilerplate_exact_boundaries(spark):
+    """A planted 6-token boilerplate block shared by two docs collapses to
+    ONE maximal run per doc with exact token boundaries (VERDICT r4 #4
+    'done' criterion)."""
+    from pmcanalysis_spark.operators.dedup import repeated_runs
+
+    block = "B1 B2 B3 B4 B5 B6"
+    docs = _docs_df(spark, [
+        ("a", f"u1 u2 u3 {block} u4 u5"),
+        ("b", f"v1 {block} v2 v3 v4 v5 v6"),
+    ])
+    runs = {r["doc_id"]: (r["start_token"], r["end_token"], r["n_tokens"])
+            for r in repeated_runs(docs, span_len=4).collect()}
+    # doc a: block occupies tokens 3..8 -> repeated windows at pos 3,4,5
+    # merge into [3, 9)
+    assert runs["a"] == (3, 9, 6)
+    # doc b: block occupies tokens 1..6 -> [1, 7)
+    assert runs["b"] == (1, 7, 6)
+
+
+def test_repeated_runs_gap_semantics(spark):
+    """Two repeated windows merge iff their token intervals overlap or
+    adjoin (gap in start positions <= span_len); a 1-token gap of unique
+    text splits the run."""
+    from pmcanalysis_spark.operators.dedup import repeated_runs
+
+    blk1, blk2 = "C1 C2 C3 C4", "D1 D2 D3 D4"
+    # doc 'x': blk1 at tokens 0-3, one unique token, blk2 at tokens 5-8
+    docs = _docs_df(spark, [
+        ("x", f"{blk1} uniq {blk2}"),
+        ("y", f"{blk1} other tokens here {blk2}"),
+    ])
+    got = sorted(
+        (r["doc_id"], r["start_token"], r["end_token"])
+        for r in repeated_runs(docs, span_len=4).collect()
+    )
+    # doc x: runs [0,4) and [5,9) — windows at pos 0 and 5, gap 5 > 4 keeps
+    # them separate even though only one token between them is unique
+    assert (("x", 0, 4) in got) and (("x", 5, 9) in got)
+    # doc y: blk2 starts after 4 + 3 unique tokens -> [0,4) and [7,11)
+    assert (("y", 0, 4) in got) and (("y", 7, 11) in got)
+    assert len(got) == 4
+
+
+def test_repeated_runs_adjoining_windows_merge(spark):
+    """Back-to-back duplicated blocks (window-start gap == span_len) fuse
+    into one run covering both."""
+    from pmcanalysis_spark.operators.dedup import repeated_runs
+
+    blk1, blk2 = "C1 C2 C3 C4", "D1 D2 D3 D4"
+    docs = _docs_df(spark, [
+        ("p", f"{blk1} {blk2}"),
+        ("q", f"w1 {blk1} w2 w3 w4 w5 {blk2} w6"),
+    ])
+    runs = {r["doc_id"]: (r["start_token"], r["end_token"])
+            for r in repeated_runs(docs, span_len=4).collect()
+            if r["doc_id"] == "p"}
+    assert runs["p"] == (0, 8)
+
+
+def test_cut_repeated_runs_removes_exactly_the_block(spark):
+    from pmcanalysis_spark.operators.dedup import cut_repeated_runs
+
+    block = "B1 B2 B3 B4 B5 B6"
+    docs = _docs_df(spark, [
+        ("a", f"u1 u2 u3 {block} u4 u5"),
+        ("b", f"v1 {block} v2 v3 v4 v5 v6"),
+        ("c", "entirely unique text with no duplication anywhere at all"),
+    ])
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens_cut"])
+           for r in cut_repeated_runs(docs, span_len=4).collect()}
+    assert got["a"] == ("u1 u2 u3 u4 u5", 6)
+    assert got["b"] == ("v1 v2 v3 v4 v5 v6", 6)
+    assert got["c"][1] == 0
+    assert got["c"][0] == "entirely unique text with no duplication anywhere at all"
