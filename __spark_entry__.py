@@ -1506,6 +1506,17 @@ def q_dd_cut_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut_repeated_runs(_docs(spark, sf_dir), span_len=8, min_count=2)
 
 
+def q_kg_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving snippet highlighting (r5): +-30-char fragment around the
+    first occurrence of each lexicon name, match wrapped in <b></b> — the
+    DataFrame half of the reference's Lucene highlighter
+    (DermoServlet.groovy:443-502). Broadcast lexicon x doc scan, zero
+    shuffle, pure string algebra."""
+    from pmcanalysis_spark.serving import highlight_snippets
+
+    return highlight_snippets(_docs(spark, sf_dir), _lex_df(spark), width=30)
+
+
 def q_ts_keep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4/Gopher-style keep/drop endgame (r4): all cleaning rules in
     one narrow zero-shuffle select, reasons recorded per doc."""
@@ -1683,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in r5 (gated in their first round) --
         "dd_repeated_runs": q_dd_repeated_runs,
         "dd_cut_runs": q_dd_cut_runs,
+        "kg_snippets": q_kg_snippets,
         # --- position 51+ (driver-ungated this round; every entry below is
         # --- green in the full-registry local oracle replica and has >= 2
         # --- green driver rounds on record, see COVERAGE.md) ---
@@ -2816,6 +2828,22 @@ def oracle_sql() -> dict[str, str]:
                  CAST(t.n_toks - COALESCE(a.n_kept, 0) AS BIGINT)
                    AS n_tokens_cut
           FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        """,
+        "kg_snippets": f"""
+          WITH lex(name, term_id) AS (VALUES {_lex_values()}),
+          hits AS (
+            SELECT d.doc_id, l.term_id, l.name, d.text,
+                   strpos(d.text, l.name) AS pos
+            FROM documents d JOIN lex l ON strpos(d.text, l.name) > 0
+          )
+          SELECT doc_id, term_id,
+                 concat(
+                   substr(text, greatest(1, pos - 30),
+                          pos - greatest(1, pos - 30)),
+                   '<b>', name, '</b>',
+                   substr(text, pos + length(name), 30)
+                 ) AS snippet
+          FROM hits
         """,
         "ts_keep_filter": _KEEP_SQL,
         "ev_sessionize": """

@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "ev_asof_prior",
     "ev_range_join",
     "ev_rollup_multigrain",
+    # new in r5
+    "dd_repeated_runs",
+    "dd_cut_runs",
 ]
 
 
@@ -139,6 +142,76 @@ def _author_skew_probe(spark) -> float:
     # each 5-record key shares identical features -> one entity
     assert rows["author_0"] == (1, 5) and len(rows) == 2001
     return wall
+
+
+def _pair_counts_skew_probe(spark) -> dict[str, float]:
+    """Flagship J4 under a planted head term (VERDICT r4 #6): one
+    'disease'-grade DS term touching 30% of 50k docs next to 20 OP and 100
+    tail-DS terms — the (OP:x, DS:head) aggregate groups carry ~100x the
+    tail groups' counts. Times pair_counts with salt_buckets in {0, 8, 32}
+    (best-of-2 each, interleaved) and asserts all three produce identical
+    aggregates, so the parity-proven salted path finally gets a measured
+    skew number instead of a theoretical one. The join key itself (doc_id)
+    stays uniform — AQE's skew-join splitter never triggers here; what the
+    salt can help is the AGGREGATE, which hash-aggregate partial combine
+    already absorbs map-side. The recorded walls settle whether the salt
+    pays at all (PLANS.md 'Skewed head term' paragraph)."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.cooccur import pair_counts
+
+    n_docs = 50_000
+    docs = spark.range(n_docs)
+    op = docs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit("OP:"), F.pmod(F.col("id") * (7 + i) + i, F.lit(20)))
+                for i in range(8)
+            ])
+        ).alias("term_id"),
+    )
+    ds_tail = docs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit("DS:t"), F.pmod(F.col("id") * (13 + i) + i, F.lit(100)))
+                for i in range(3)
+            ])
+        ).alias("term_id"),
+    )
+    ds_head = docs.filter(F.pmod("id", F.lit(10)) < 3).select(
+        "id", F.lit("DS:head").alias("term_id")
+    )
+    dt = (
+        op.unionByName(ds_tail).unionByName(ds_head)
+        .select(F.col("id").cast("string").alias("doc_id"), "term_id")
+        .distinct()
+        .persist()
+    )
+    dt.count()  # same warmed input for every salt variant
+
+    def run(salt: int) -> tuple[float, int, int]:
+        t0 = time.perf_counter()
+        agg = pair_counts(dt, "OP:", "DS:", salt_buckets=salt).agg(
+            F.count("*").alias("groups"), F.sum("nab").alias("total")
+        ).collect()[0]
+        return time.perf_counter() - t0, agg["groups"], agg["total"]
+
+    salts = (0, 8, 32)
+    walls: dict[int, float] = {}
+    ref = None
+    for _rep in range(2):
+        for s in salts:  # interleaved: drift hits all variants equally
+            w, groups, total = run(s)
+            walls[s] = min(walls.get(s, w), w)
+            if ref is None:
+                ref = (groups, total)
+            assert (groups, total) == ref, (
+                f"salted aggregate diverged at salt={s}: {(groups, total)} vs {ref}"
+            )
+    dt.unpersist()
+    return {f"kg_pair_counts_skew_salt{s}": round(walls[s], 3) for s in salts}
 
 
 def _prewarm(spark) -> None:
@@ -263,6 +336,8 @@ def main() -> None:
     queries = _run_queries(spark, sf_dir)
     spark.catalog.clearCache()
     queries["cz_author_skew"] = round(_author_skew_probe(spark), 3)
+    spark.catalog.clearCache()
+    queries.update(_pair_counts_skew_probe(spark))
     spark.stop()
 
     spp = int(os.environ.get("SPARK_GRAFT_BENCH_SPP", "120"))

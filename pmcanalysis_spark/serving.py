@@ -166,3 +166,40 @@ class KGIndex:
             .collect()
         )
         return [r["name"] for r in rows]
+
+
+def highlight_snippets(
+    docs: DataFrame,
+    lexicon: DataFrame,
+    width: int = 30,
+    text_col: str = "text",
+    pre_tag: str = "<b>",
+    post_tag: str = "</b>",
+) -> DataFrame:
+    """Snippet highlighting for serving results (the DataFrame half of the
+    reference's Lucene highlighter, /root/reference/DermoServlet.groovy:
+    443-502: best-fragment extraction + tag-wrapped match rendered around
+    each hit): for every (doc, lexicon name) whose name occurs in the text,
+    emit (doc_id, term_id, snippet) where snippet is a +-``width``-char
+    window around the FIRST occurrence with the match wrapped in
+    ``pre_tag``/``post_tag``.
+
+    Char-grain first-occurrence fragments by design (Lucene's fragmenter is
+    also char-budgeted); multi-occurrence rendering is the HTTP layer's
+    pagination concern, not the engine's. Plan: one broadcast join of the
+    tiny lexicon against the doc scan (J1 shape), then pure string column
+    algebra — no shuffle at all, no Python; the filter (instr > 0) sits
+    directly on the joined scan."""
+    pos = F.instr(F.col(text_col), F.col("name"))
+    start = F.greatest(F.lit(1), pos - width)
+    snippet = F.concat(
+        F.substring(F.col(text_col), start, pos - start),
+        F.lit(pre_tag),
+        F.col("name"),
+        F.lit(post_tag),
+        F.substring(F.col(text_col), pos + F.length("name"), F.lit(width)),
+    )
+    return (
+        docs.join(F.broadcast(lexicon.select("name", "term_id")), pos > 0)
+        .select("doc_id", "term_id", snippet.alias("snippet"))
+    )

@@ -74,3 +74,41 @@ def test_snapshot_resumes(spark, tmp_path):
     with open(tmp_path / "serving_inverted" / "_lineage_manifest.json") as f:
         run2 = json.load(f)["run_id"]
     assert run1 == run2
+
+
+def test_highlight_snippets_window_and_tags(spark):
+    """Snippet fragments: +-width chars around the FIRST occurrence, match
+    tag-wrapped, window clipped at both text edges (the DataFrame half of
+    DermoServlet.groovy:443-502's Lucene highlighter)."""
+    from pmcanalysis_spark.serving import highlight_snippets
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "aa bb spark cc dd"),
+            ("d2", "spark starts here with text running past the edge"),
+            ("d3", "ends with the word spark"),
+            ("d4", "no match in this one"),
+        ],
+        "doc_id string, text string",
+    )
+    lex = spark.createDataFrame(
+        [("spark", "OP:1"), ("absent", "OP:2")], "name string, term_id string"
+    )
+    got = {r["doc_id"]: r for r in highlight_snippets(docs, lex, width=6).collect()}
+    assert set(got) == {"d1", "d2", "d3"}
+    assert all(r["term_id"] == "OP:1" for r in got.values())
+    assert got["d1"]["snippet"] == "aa bb <b>spark</b> cc dd"
+    assert got["d2"]["snippet"] == "<b>spark</b> start"   # left edge clipped
+    assert got["d3"]["snippet"] == " word <b>spark</b>"   # right edge clipped
+
+
+def test_highlight_snippets_no_shuffle_plan(spark):
+    """Plan contract: broadcast join + string algebra only — no Exchange."""
+    from pmcanalysis_spark.serving import highlight_snippets
+
+    docs = spark.createDataFrame(
+        [("d1", "x spark y")], "doc_id string, text string")
+    lex = spark.createDataFrame([("spark", "OP:1")], "name string, term_id string")
+    plan = highlight_snippets(docs, lex)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
