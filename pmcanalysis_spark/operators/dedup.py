@@ -268,7 +268,7 @@ def neardup_text_scalable(
     num_hashes: int = 16,
     bands: int = 4,
     max_shingle_df: int | str | None = "auto",
-    materialize_shingles: bool = True,
+    materialize_shingles: bool = False,
     shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Text near-dup pairs, MinHash-LSH candidates -> exact-Jaccard confirm.
@@ -300,18 +300,17 @@ def neardup_text_scalable(
     the hot-shingle df count + anti-join base, sizes, a-side, b-side) and
     Catalyst does not CSE across branches — unmaterialized, each branch
     re-runs the tokenize+explode over the corpus. ``materialize_shingles``
-    (default True) persists the raw shingle stage and the hot-filtered
-    shingle stage so the whole operator tokenizes the corpus ONCE — exactly
-    what a production run would checkpoint between stages
-    (``lineage.materialize_stage`` is the durable-parquet equivalent for
-    multi-job pipelines; an in-operator persist is the single-job form).
-    The persisted stages are tiny relative to the corpus (distinct shingle
-    rows, MEMORY_AND_DISK so oversized partitions spill, never OOM) and are
-    released by Spark's LRU eviction; callers wanting explicit control can
-    pass ``shingles_df`` (a pre-materialized (doc_id, shingle) table, e.g.
-    from ``lineage.materialize_stage``) and ``materialize_shingles=False``.
-    Values are identical either way (persist changes execution, not
-    semantics) — oracle hashes prove it.
+    persists the raw + hot-filtered shingle stages so the operator tokenizes
+    the corpus once. Default False: the r5 A/B at sf0.1 steady state
+    (interleaved, best-of-3 after warmup, quiet box) measured the persist
+    LOSING ~15% (3.80 s vs 4.46 s, ordering consistent in all reps) — on
+    OS-cached parquet the re-scans are cheaper than materializing the
+    exploded shingle table into the block store (PLANS.md "Shingle persist
+    A/B"). Flip it (or pass ``shingles_df``, e.g. a
+    ``lineage.materialize_stage`` checkpoint) on a real cluster where the
+    corpus scan is cold remote storage and 6 scans of 100 TB dwarf one
+    shingle materialization. Values are identical either way (persist
+    changes execution, not semantics) — oracle hashes prove it.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -361,7 +360,7 @@ def neardup_text_clusters(
     num_hashes: int = 16,
     bands: int = 4,
     max_shingle_df: int | str | None = "auto",
-    materialize_shingles: bool = True,
+    materialize_shingles: bool = False,
     shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """The full text-dedup endgame: LSH candidates -> exact-Jaccard confirm

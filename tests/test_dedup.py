@@ -294,10 +294,10 @@ def test_text_neardup_clusters_collapse(spark):
 
 
 def test_text_neardup_materialize_identical(spark):
-    """materialize_shingles (default True, one corpus tokenize shared by all
-    six shingle branches) changes execution only: pairs and jaccards are
-    identical to the unmaterialized plan and to a caller-supplied
-    pre-computed shingles_df."""
+    """materialize_shingles (default False since the r5 A/B — see PLANS.md
+    "Shingle persist A/B") changes execution only: pairs and jaccards are
+    identical whether the shingle stage is persisted, recomputed per branch,
+    or supplied pre-computed via shingles_df."""
     from pmcanalysis_spark.operators.dedup import (
         neardup_text_scalable,
         shingles,
@@ -310,7 +310,7 @@ def test_text_neardup_materialize_identical(spark):
         return sorted((r.a_id, r.b_id, round(r.jaccard, 12)) for r in out.collect())
 
     default = rows()
-    assert default == rows(materialize_shingles=False)
+    assert default == rows(materialize_shingles=True)
     pre = shingles(docs, "doc_id", "text", 3).persist()
     try:
         assert default == rows(shingles_df=pre, materialize_shingles=False)
