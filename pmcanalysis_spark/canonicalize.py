@@ -341,7 +341,10 @@ def connected_components(
             "id", F.coalesce("component", F.col("id")).alias("component")
         )
     labels = vertices.select("id", F.col("id").alias("component"))
-    sym = sym.persist()
+    # hash-partition the (bigger) symmetrized edge side by the join key ONCE:
+    # the persisted partitioning satisfies every iteration's join requirement,
+    # so per-iteration shuffles touch only the (smaller) label table
+    sym = sym.repartition("dst").persist()
     labels = labels.persist()
     converged = False
     for i in range(max_iter):
@@ -354,6 +357,7 @@ def connected_components(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
@@ -363,28 +367,28 @@ def connected_components(
         lk = stepped.select(
             F.col("id").alias("_cid"), F.col("component").alias("_cc")
         )
-        new_labels = (
+        new_full = (
             stepped.join(lk, stepped.component == lk._cid, "left")
             .select(
                 "id",
+                "_old",
                 F.least(
                     F.col("component"), F.coalesce(F.col("_cc"), F.col("component"))
                 ).alias("component"),
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_full = new_full.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.persist()
+            new_full = new_full.persist()
+        # convergence check straight off the carried old label — labels only
+        # ever decrease, so "any row where new != old" needs no old-vs-new
+        # join (one full shuffle join per iteration saved)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            new_full.filter(F.col("component") != F.col("_old")).limit(1).count()
         )
         labels.unpersist()
-        labels = new_labels
+        labels = new_full.drop("_old")
         if changed == 0:
             converged = True
             break
