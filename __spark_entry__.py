@@ -1542,6 +1542,17 @@ def q_ts_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logppl(_docs(spark, sf_dir), alpha=0.5)
 
 
+def q_ts_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length quantiles (r5): the corpus-shape report
+    behind sequence-length/truncation budgets. exact=True here (the
+    percentile anchor, value-identical to DuckDB quantile_cont); the
+    default approx GK-sketch path is the mergeable 100 TB plan, pinned
+    within rank error by pytest."""
+    from pmcanalysis_spark.operators.textstats import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir), exact=True)
+
+
 def q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (r4): 30-min inactivity starts a new
     session; per-user ordered window, deterministic (ts, event_id) order."""
@@ -1650,7 +1661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_obo_closure": q_kg_obo_closure,
         "kg_owl_closure": q_kg_owl_closure,
         "kg_serving_ranked": q_kg_serving_ranked,
-        "kg_obo_docfreq": q_kg_obo_docfreq,
         "kg_auc": q_kg_auc,
         "kg_cutoff_auc": q_kg_cutoff_auc,
         "kg_connected_components": q_kg_connected_components,
@@ -1691,14 +1701,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rollup_multigrain": q_ev_rollup_multigrain,
         "ts_token_budget": q_ts_token_budget,
         "dd_minhash_est": q_dd_minhash_est,
-        # -- NEW in r5 (gated in their first round) --
+        # -- NEW in r5 (gated in their first round; kg_obo_docfreq, green
+        # -- r1-r4, rotated to 51+ to make the slot) --
         "dd_repeated_runs": q_dd_repeated_runs,
         "dd_cut_runs": q_dd_cut_runs,
         "kg_snippets": q_kg_snippets,
+        "ts_length_quantiles": q_ts_length_quantiles,
         # --- position 51+ (driver-ungated this round; every entry below is
         # --- green in the full-registry local oracle replica and has >= 2
         # --- green driver rounds on record, see COVERAGE.md) ---
         "kg_hierarchy_rollup": q_kg_hierarchy_rollup,
+        "kg_obo_docfreq": q_kg_obo_docfreq,
         "kg_leaf_terms": q_kg_leaf_terms,
         "kg_topk_pairs": q_kg_topk_pairs,
         "kg_normalized_rank": q_kg_normalized_rank,
@@ -2992,6 +3005,20 @@ def oracle_sql() -> dict[str, str]:
                    AS sum_quality
           FROM documents d JOIN k ON k.doc_id = d.doc_id
           GROUP BY d.source
+        """,
+        # quantile_cont == Spark's exact `percentile` (both linear
+        # interpolation over the sorted group); ROUND(x, 6) on both sides
+        "ts_length_quantiles": """
+          SELECT source, COUNT(*) AS n_docs,
+                 ROUND(quantile_cont(n_tokens, 0.25), 6) AS p25,
+                 ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50,
+                 ROUND(quantile_cont(n_tokens, 0.9), 6) AS p90,
+                 ROUND(quantile_cont(n_tokens, 0.99), 6) AS p99
+          FROM (SELECT source,
+                       len(list_filter(string_split(text, ' '), x -> x <> ''))
+                         AS n_tokens
+                FROM documents)
+          GROUP BY source
         """,
     }
 

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     # new in r5
     "dd_repeated_runs",
     "dd_cut_runs",
+    "ts_length_quantiles",
 ]
 
 

@@ -293,3 +293,49 @@ def test_token_budget_sample(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+
+def test_length_quantiles_exact_golden(spark):
+    """Exact mode: linear-interpolation quantiles on a known distribution,
+    empty docs count as 0-token rows, singleton groups collapse to the value."""
+    from pmcanalysis_spark.operators.textstats import length_quantiles
+
+    rows = [("a", " ".join(["t"] * n)) for n in range(1, 101)]  # 1..100 tokens
+    rows += [("b", "x y z"), ("c", "")]
+    docs = spark.createDataFrame(
+        [(f"d{i}", t, s) for i, (s, t) in enumerate(rows)],
+        "doc_id string, text string, source string",
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in length_quantiles(docs, probs=(0.5, 0.9), exact=True).collect()
+    }
+    # 1..100: p50 = 50.5, p90 = 90.1 (linear interpolation)
+    assert got["a"]["n_docs"] == 100
+    assert got["a"]["p50"] == 50.5 and got["a"]["p90"] == 90.1
+    assert got["b"] == {"source": "b", "n_docs": 1, "p50": 3.0, "p90": 3.0}
+    assert got["c"]["p50"] == 0.0  # empty text -> 0 tokens, still a row
+
+
+def test_length_quantiles_approx_within_rank_error(spark):
+    """The GK-sketch scale path lands within its rank-error bound of the
+    exact anchor on a skewed (power-law-ish) planted distribution."""
+    from pmcanalysis_spark.operators.textstats import length_quantiles
+
+    lengths = [1 + (i % 7) for i in range(900)] + [500 + i for i in range(100)]
+    docs = spark.createDataFrame(
+        [(f"d{i}", " ".join(["t"] * n), "s") for i, n in enumerate(lengths)],
+        "doc_id string, text string, source string",
+    )
+    probs = (0.5, 0.9, 0.99)
+    exact = length_quantiles(docs, probs=probs, exact=True).collect()[0]
+    approx = length_quantiles(docs, probs=probs, accuracy=10000).collect()[0]
+    srt = sorted(lengths)
+    n = len(srt)
+    for p in probs:
+        col = f"p{round(p * 100)}"
+        # rank error 1/accuracy of n -> at n=1000, accuracy=10000 the
+        # approx value must be AT a rank within +-1 of the target rank
+        lo = srt[max(0, int(p * n) - 1)]
+        hi = srt[min(n - 1, int(p * n) + 1)]
+        assert lo <= approx[col] <= hi, (col, approx[col], lo, hi)
+        assert exact[col] >= lo - 1 and exact[col] <= hi + 1
