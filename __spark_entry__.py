@@ -747,6 +747,23 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "item_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a TRAINED coarse quantizer (r5): two distributed
+    Lloyd's iterations from the vec_id<8 seed (decimal-sum means — order-
+    independent, so the oracle replays the exact same centroids), then the
+    same single-probe cell search as sim_ivf_topk."""
+    from pmcanalysis_spark.operators.similarity import ivf_topk, train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    cents = train_centroids(emb, init, n_iter=2, impl="numpy")
+    out = ivf_topk(emb, cents, k=3)
+    return out.select("query_id", "item_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN (the bucket-join scale path). The md5-derived
     planes are regenerated bit-for-bit by the oracle (hashlib vs Spark
@@ -1231,6 +1248,40 @@ def _lsh_bucket_sql(num_planes: int = 6, dim: int = 64, plane_offset: int = 0) -
             f"(CASE WHEN list_dot_product(vec, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
         )
     return " + ".join(parts)
+
+
+def _kmeans_assign_sql(cent_cte: str) -> str:
+    """DuckDB CTE body assigning every vector in ``v`` to its max-cosine
+    centroid from ``cent_cte`` (cell, cvec) — the exact ivf_assign rule
+    (ties to the lowest cell id)."""
+    return f"""
+            SELECT vec_id, vec, cell FROM (
+              SELECT v.vec_id, v.vec, c.cell,
+                ROW_NUMBER() OVER (
+                  PARTITION BY v.vec_id
+                  ORDER BY list_dot_product(v.vec, c.cvec)
+                        / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                    c.cell ASC
+                ) AS rn
+              FROM v CROSS JOIN {cent_cte} c
+            ) WHERE rn = 1
+    """
+
+
+def _kmeans_means_sql(assign_cte: str, dim: int = 64) -> str:
+    """DuckDB CTE body for the Lloyd's update: per-cell elementwise mean as
+    an order-independent DECIMAL(28,12) sum divided in DOUBLE — the exact
+    arithmetic similarity.train_centroids runs, so the replayed centroids
+    are value-identical. Empty cells simply produce no group (dropped)."""
+    return f"""
+            SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+              SELECT cell, g.pos AS pos,
+                     CAST(SUM(CAST(vec[g.pos] AS DECIMAL(28, 12))) AS DOUBLE)
+                       / COUNT(*) AS m
+              FROM {assign_cte} CROSS JOIN generate_series(1, {dim}) AS g(pos)
+              GROUP BY cell, g.pos
+            ) GROUP BY cell
+    """
 
 
 def _link_lex_values() -> str:
@@ -1744,6 +1795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_named": q_kg_triples_named,
         "lex_autocomplete": q_lex_autocomplete,
         "dd_embedding_neardup": q_dd_embedding_neardup,
+        # -- NEW in r5 (added after the r5 gate was locked; slated to rotate
+        # -- into the r6 gate per COVERAGE.md) --
+        "sim_ivf_trained": q_sim_ivf_trained,
     }
 
 
@@ -2367,6 +2421,32 @@ def oracle_sql() -> dict[str, str]:
               list_dot_product(a.vec, b.vec)
               / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
             FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          )
+          SELECT query_id, item_id, ROUND(cosine, 6) AS cosine, rank FROM (
+            SELECT query_id, item_id, cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS INT) AS rank
+            FROM pairs
+          ) WHERE rank <= 3
+        """,
+        # the two Lloyd's iterations unrolled: assign -> decimal-mean ->
+        # assign -> decimal-mean, then the same single-probe search as
+        # sim_ivf_topk over the trained cells
+        "sim_ivf_trained": f"""
+          WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+          ),
+          c0 AS (SELECT vec_id AS cell, vec AS cvec FROM v WHERE vec_id < 8),
+          a0 AS ({_kmeans_assign_sql("c0")}),
+          c1 AS ({_kmeans_means_sql("a0")}),
+          a1 AS ({_kmeans_assign_sql("c1")}),
+          c2 AS ({_kmeans_means_sql("a1")}),
+          a2 AS ({_kmeans_assign_sql("c2")}),
+          pairs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+              list_dot_product(a.vec, b.vec)
+              / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
+            FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
           )
           SELECT query_id, item_id, ROUND(cosine, 6) AS cosine, rank FROM (
             SELECT query_id, item_id, cosine,

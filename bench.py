@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "dd_repeated_runs",
     "dd_cut_runs",
     "ts_length_quantiles",
+    "sim_ivf_trained",
 ]
 
 

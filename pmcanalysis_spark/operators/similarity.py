@@ -599,3 +599,60 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "item_id", "cosine", "rank")
     )
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    init: list[tuple[int, list[float]]],
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "numpy",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer: refine the
+    ``init`` centroids with ``n_iter`` assign→mean iterations and return the
+    trained ``(cell, centroid)`` list ``ivf_assign``/``ivf_topk`` take.
+    Balanced cells are what makes the IVF cost model (work ∝ Σ cell_size²)
+    hold — a deterministic-pick index works, a trained one bounds the tail.
+
+    Scale shape per iteration: ONE narrow assignment pass (`ivf_assign`, the
+    same mapInPandas batch-matmul used at search time — assignment is by max
+    cosine, so centroid scale cancels and no re-normalization step is
+    needed), then posexplode → groupBy(cell, pos): the shuffle carries
+    component-grain rows on a uniform bounded key space (k × dim groups) and
+    partial aggregation combines map-side; the driver holds only the k × dim
+    centroid matrix between iterations (what it must broadcast anyway).
+
+    The mean is an order-independent DECIMAL(28,12) sum divided in DOUBLE —
+    the repo's cross-engine float recipe — so the trained centroids are
+    bit-reproducible under any partitioning/retry AND replayable by the SQL
+    oracle (`sim_ivf_trained` unrolls these iterations in DuckDB). Fixed
+    ``n_iter`` (no float-noise-coupled stopping rule) for the same
+    reproducibility reason. Cells that capture no vectors are dropped
+    (FAISS-style empty-cell reseeding is a production knob, not index
+    semantics); ties assign to the lowest cell id in both impls.
+    """
+    cents = sorted(((int(c), [float(x) for x in v]) for c, v in init))
+    for _ in range(n_iter):
+        if not cents:
+            break
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col, impl=impl)
+        rows = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        cents = [
+            (cell, [comps[p] for p in sorted(comps)])
+            for cell, comps in sorted(by_cell.items())
+        ]
+    return cents

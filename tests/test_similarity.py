@@ -245,3 +245,56 @@ def test_zero_vector_impls_agree(spark):
     assert rows(lsh_bucketed_topk(emb, dim=4, num_planes=4, k=3, impl="numpy")) == rows(
         lsh_bucketed_topk(emb, dim=4, num_planes=4, k=3, impl="sql")
     )
+
+
+def test_train_centroids_matches_numpy_lloyds(spark):
+    """Distributed trainer == independent scalar Lloyd's (same init, same
+    fixed iterations, cosine assignment + plain mean update) within the
+    decimal-vs-float sum ulp; lowest-cell tie-break; both impls agree."""
+    import numpy as np
+
+    from pmcanalysis_spark.operators.similarity import train_centroids
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[5.0, 0, 0, 0], [0, 5.0, 0, 0], [0, 0, 5.0, 0]])
+    X = np.vstack([c + rng.randn(30, 4) * 0.3 for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    init = [(0, list(map(float, X[0]))), (1, list(map(float, X[30]))),
+            (2, list(map(float, X[60])))]
+
+    def ref_lloyds(n_iter):
+        cents = {c: np.array(v) for c, v in init}
+        for _ in range(n_iter):
+            order = sorted(cents)
+            C = np.array([cents[c] for c in order])
+            cn = np.sqrt((C * C).sum(axis=1)); cn[cn == 0] = 1.0
+            vn = np.sqrt((X * X).sum(axis=1)); vn[vn == 0] = 1.0
+            cell = np.array(order)[np.argmax((X @ C.T) / np.outer(vn, cn), axis=1)]
+            cents = {
+                c: X[cell == c].mean(axis=0) for c in order if (cell == c).any()
+            }
+        return cents
+
+    for impl in ("numpy", "sql"):
+        got = dict(train_centroids(emb, init, n_iter=2, impl=impl))
+        want = ref_lloyds(2)
+        assert sorted(got) == sorted(want)
+        for c in got:
+            assert np.allclose(got[c], want[c], atol=1e-9), (impl, c)
+
+
+def test_train_centroids_exact_and_empty_cell(spark):
+    """Integer data -> decimal means are exact; a centroid that captures
+    nothing is dropped, not NaN-propagated."""
+    from pmcanalysis_spark.operators.similarity import train_centroids
+
+    emb = spark.createDataFrame(
+        [(0, [4.0, 0.0]), (1, [8.0, 0.0]), (2, [0.0, 2.0]), (3, [0.0, 6.0])],
+        "vec_id long, embedding array<double>",
+    )
+    init = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, -1.0])]
+    got = dict(train_centroids(emb, init, n_iter=1))
+    assert got == {0: [6.0, 0.0], 1: [0.0, 4.0]}  # cell 2 captured nothing
