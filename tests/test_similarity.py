@@ -298,3 +298,39 @@ def test_train_centroids_exact_and_empty_cell(spark):
     init = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, -1.0])]
     got = dict(train_centroids(emb, init, n_iter=1))
     assert got == {0: [6.0, 0.0], 1: [0.0, 4.0]}  # cell 2 captured nothing
+
+
+def test_train_centroids_improves_single_probe_recall(spark):
+    """On skew-clustered data (the real-world shape), training moves cells
+    onto the true clusters: single-probe recall@3 vs brute-force cosine
+    must improve materially over the untrained deterministic pick. (On
+    isotropic data training is a measured no-op — PLANS.md 'IVF quantizer
+    training'.)"""
+    import numpy as np
+
+    from pmcanalysis_spark.operators.similarity import ivf_topk, train_centroids
+
+    rng = np.random.RandomState(42)
+    sizes = [800, 400, 200, 100, 50, 25]
+    centers = rng.randn(6, 16) * 3
+    X = np.vstack([centers[i] + rng.randn(s, 16) for i, s in enumerate(sizes)])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    init = [(i, [float(x) for x in X[i]]) for i in range(6)]  # all from cluster 0
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -2)
+    truth = {q: set(np.argsort(-S[q])[:3]) for q in range(len(X))}
+
+    def recall(cents):
+        got: dict = {}
+        for r in ivf_topk(emb, cents, k=3, impl="numpy").collect():
+            got.setdefault(r["query_id"], set()).add(r["item_id"])
+        return sum(len(got.get(q, set()) & truth[q]) for q in truth) / (3 * len(truth))
+
+    r0 = recall(init)
+    r2 = recall(train_centroids(emb, init, n_iter=2))
+    assert r2 > r0 + 0.1, (r0, r2)
