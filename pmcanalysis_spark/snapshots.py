@@ -162,6 +162,66 @@ class SnapshotTable:
         return self.spark.read.parquet(*paths)
 
     # -- maintenance -------------------------------------------------------
+    def compact(
+        self,
+        target_file_size_bytes: int = 128 * 1024 * 1024,
+        min_input_files: int = 2,
+    ) -> int | None:
+        """Small-file compaction — Iceberg's ``rewrite_data_files`` shape.
+
+        A long-appended table accretes one commit directory per append; at
+        100 TB that is the classic small-file problem (every scan pays
+        per-file open/footer cost, and file-grain parallelism fragments).
+        Compaction reads the CURRENT snapshot and rewrites its content as
+        one commit directory with ceil(total_bytes / target) parquet files,
+        then commits a ``compact`` snapshot through the same O_EXCL
+        optimistic protocol as any writer — so compaction can race live
+        appends and exactly one wins (the loser's files are removed and
+        ``CommitConflict`` raised, Iceberg's retry contract). History is
+        untouched: pre-compaction snapshots still reference the old small
+        files for time travel until ``expire_snapshots`` reclaims them.
+
+        Row-count is verified on the rewritten copy before the commit is
+        attempted — a lost-row rewrite aborts instead of committing.
+        Returns the new version, or None when the current snapshot already
+        references fewer than ``min_input_files`` data files (no-op).
+        """
+        parent = self.current_version()
+        if parent is None:
+            return None
+        psnap = self.snapshot(parent)
+        n_files, total_bytes = 0, 0
+        for d in psnap["files"]:
+            base = os.path.join(self.root, "data", d)
+            for name in os.listdir(base):
+                if name.endswith(".parquet"):
+                    n_files += 1
+                    total_bytes += os.path.getsize(os.path.join(base, name))
+        if n_files < min_input_files:
+            return None
+        n_out = max(1, -(-total_bytes // target_file_size_bytes))
+        commit_dir = uuid.uuid4().hex[:16]
+        data_path = os.path.join(self.root, "data", commit_dir)
+        self.read(parent).repartition(n_out).write.mode("error").parquet(data_path)
+        n = self.spark.read.parquet(data_path).count()
+        if n != psnap["row_count"]:
+            shutil.rmtree(data_path, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction rewrite lost rows ({n} != {psnap['row_count']}); aborted"
+            )
+        snap = {
+            "snapshot_id": parent + 1,
+            "parent": parent,
+            "operation": "compact",
+            "files": [commit_dir],
+            "row_count": n,
+        }
+        try:
+            return self._commit_snapshot(snap)
+        except CommitConflict:
+            shutil.rmtree(data_path, ignore_errors=True)
+            raise
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots' metadata and
         delete data directories no retained snapshot references. Returns the

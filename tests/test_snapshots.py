@@ -107,3 +107,60 @@ def test_commit_retry_after_conflict(spark, tmp_path):
             continue
     assert with_retry == 3
     assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 10, 11]
+
+
+def _count_parquet_files(t):
+    snap = t.snapshot(t.current_version())
+    return sum(
+        1
+        for d in snap["files"]
+        for name in os.listdir(os.path.join(t.root, "data", d))
+        if name.endswith(".parquet")
+    )
+
+
+def test_compact_rewrites_small_files_preserving_content_and_history(spark, tmp_path):
+    """rewrite_data_files semantics: many small append commits collapse to
+    one commit dir with identical content; pre-compaction snapshots still
+    time-travel; expiry then reclaims the small files."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.commit(_df(spark, i * 5, i * 5 + 5).repartition(3), mode="append")
+    pre_version = t.current_version()
+    pre_files = _count_parquet_files(t)
+    assert pre_files >= 4
+    v = t.compact(target_file_size_bytes=1 << 30)  # everything fits one file
+    assert v == pre_version + 1
+    snap = t.snapshot(v)
+    assert snap["operation"] == "compact" and len(snap["files"]) == 1
+    assert _count_parquet_files(t) == 1
+    assert sorted((r.id, r.v) for r in t.read().collect()) == [
+        (i, i * 10) for i in range(20)
+    ]
+    # time travel to pre-compaction still reads the old files
+    assert sorted(r.id for r in t.read(pre_version).collect()) == list(range(20))
+    # expiry reclaims the small-file dirs no retained snapshot references
+    t.expire_snapshots(keep_last=1)
+    remaining = set(os.listdir(os.path.join(t.root, "data")))
+    assert remaining == set(snap["files"])
+
+
+def test_compact_noop_and_conflict_cleanup(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5).coalesce(1))
+    assert t.compact() is None  # single file already — nothing to do
+    t.commit(_df(spark, 5, 10).coalesce(1), mode="append")
+    # a racing writer takes the next version out-of-band
+    nxt = t.current_version() + 1
+    with open(
+        os.path.join(t.root, "snapshots", f"v{nxt:06d}.json"), "w"
+    ) as f:
+        json.dump({"snapshot_id": nxt, "parent": t.current_version(),
+                   "operation": "append",
+                   "files": t.snapshot(t.current_version())["files"],
+                   "row_count": 10}, f)
+    before = set(os.listdir(os.path.join(t.root, "data")))
+    with pytest.raises(CommitConflict):
+        t.compact(target_file_size_bytes=1 << 30)
+    # the loser's rewritten dir was removed
+    assert set(os.listdir(os.path.join(t.root, "data"))) == before
