@@ -89,6 +89,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="also commit the canonical triples into a versioned "
                          "SnapshotTable at this path (time-travelable history, "
                          "one snapshot per run)")
+    ap.add_argument("--compact-target-mb", type=int, default=None,
+                    help="after the snapshot commit, run small-file compaction "
+                         "(rewrite_data_files) on the table toward this file "
+                         "size; no-op when the current snapshot is already "
+                         "one data-file group")
     args = ap.parse_args(argv)
 
     import hashlib
@@ -337,6 +342,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         summary["snapshot_id"] = snap_id
         summary["snapshot_table"] = args.snapshot_table
+        if args.compact_target_mb:
+            compacted = table.compact(
+                target_file_size_bytes=args.compact_target_mb * 1024 * 1024
+            )
+            summary["compacted_snapshot_id"] = compacted
 
     wall = time.perf_counter() - t0
     summary["wall_sec"] = round(wall, 2)

@@ -135,13 +135,18 @@ def test_run_pipeline_clean_and_snapshot(tmp_path):
     s1 = json.loads(r1.stdout.strip().splitlines()[-1])
     assert s1["n_triples"] > 0 and s1["snapshot_id"] == 1
     r2 = subprocess.run(
-        base + ["--output", str(tmp_path / "kgout_strict")],
+        base + ["--output", str(tmp_path / "kgout_strict"),
+                "--compact-target-mb", "256"],
         capture_output=True, text=True, timeout=600,
     )
     assert r2.returncode == 0, r2.stderr[-2000:]
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     # strict defaults: the synthetic corpus is all bigram-repetitive
     assert s2["n_triples"] == 0 and s2["snapshot_id"] == 2
+    # --compact-target-mb wires table.compact() after the commit: either a
+    # compaction snapshot landed (3) or the snapshot was already one file
+    # group (no-op -> None); both prove the hook ran without error
+    assert s2["compacted_snapshot_id"] in (None, 3)
 
 
 def test_run_pipeline_media_decoder_hook(tmp_path):
