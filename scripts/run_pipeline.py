@@ -94,6 +94,12 @@ def main(argv: list[str] | None = None) -> int:
                          "(rewrite_data_files) on the table toward this file "
                          "size; no-op when the current snapshot is already "
                          "one data-file group")
+    ap.add_argument("--serve-tables", default=None,
+                    help="also materialize the point-lookup serving snapshot "
+                         "(sorted inverted index + lexicon + hierarchy) at this "
+                         "path — the index-build half of the reference's "
+                         "Lucene+servlet flow; front it with "
+                         "pmcanalysis_spark.server.KGServer (batch mode only)")
     args = ap.parse_args(argv)
 
     import hashlib
@@ -160,20 +166,21 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input, args.output, lex, hierarchy=hier, cfg=cfg
         )
     else:
-        resumed = try_resume(spark, args.output, "triples", fp)
-        if resumed is not None:
-            out, res = resumed
-        else:
+        def load_pages():
+            """Input pages with ingest + (optional) clean gate applied —
+            shared by the triples build and the serving-snapshot build so a
+            resumed triples stage can still derive the same page set (the
+            keep_decisions stage resumes through its own fingerprint)."""
             if args.synthetic:
                 from pmcanalysis_spark.fixtures import bench_pages_df
 
-                web_pages = bench_pages_df(spark, args.synthetic)
+                pages = bench_pages_df(spark, args.synthetic)
             else:
-                web_pages = spark.read.parquet(args.input)
+                pages = spark.read.parquet(args.input)
 
             from pmcanalysis_spark.pipeline import ingest
 
-            web_pages = ingest(web_pages, args.range_partitions)
+            pages = ingest(pages, args.range_partitions)
 
             if args.clean:
                 # cleaning gate before extraction: materialize the keep
@@ -183,7 +190,7 @@ def main(argv: list[str] | None = None) -> int:
                 from pmcanalysis_spark.operators.textstats import keep_filter
 
                 decisions = keep_filter(
-                    web_pages, id_col="url",
+                    pages, id_col="url",
                     min_tokens=args.clean_min_tokens,
                     max_dup_frac=args.clean_max_dup_frac,
                     min_quality=args.clean_min_quality,
@@ -195,10 +202,16 @@ def main(argv: list[str] | None = None) -> int:
                 kept = kd.filter(kd.keep == 1).select(
                     kd.doc_id.alias("_keep_url")
                 )
-                web_pages = web_pages.join(
-                    kept, web_pages.url == kept._keep_url, "left_semi"
+                pages = pages.join(
+                    kept, pages.url == kept._keep_url, "left_semi"
                 )
+            return pages
 
+        resumed = try_resume(spark, args.output, "triples", fp)
+        if resumed is not None:
+            out, res = resumed
+        else:
+            web_pages = load_pages()
             triples = build_triples(web_pages, lex, hierarchy=hier, cfg=cfg)
             out, res = materialize_stage(
                 triples, "triples", args.output, key_col="subj", fingerprint=fp
@@ -327,6 +340,24 @@ def main(argv: list[str] | None = None) -> int:
         summary["n_media_features"] = mres.row_count
         summary["media_resumed"] = mres.resumed
         summary["media_decoder"] = args.decoder or "builtin"
+
+    # optional serving snapshot: raw (un-closed) doc_terms into the sorted
+    # inverted index + lexicon + hierarchy tables KGIndex/KGServer read —
+    # OWL expansion happens at query time (KGIndex.expand), matching the
+    # reference servlet, so the index stores mentions, not closures. Batch
+    # mode only: the stream path's doc_terms live in the accumulator table.
+    if args.serve_tables:
+        if args.stream:
+            raise SystemExit("--serve-tables requires batch mode (no --stream)")
+        from pmcanalysis_spark.nlp import detect_doc_terms
+        from pmcanalysis_spark.serving import build_serving_tables
+
+        serve_dt = detect_doc_terms(load_pages(), lex, lang=args.lang)
+        lex_df2 = spark.createDataFrame(lex, "name string, term_id string")
+        serve_paths = build_serving_tables(
+            serve_dt, lex_df2, hier, args.serve_tables
+        )
+        summary["serving_tables"] = serve_paths
 
     # optional snapshot-table sink: commit the canonical triples into the
     # versioned table (snapshots.SnapshotTable — append/overwrite history,

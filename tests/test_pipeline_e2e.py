@@ -274,3 +274,44 @@ def test_run_pipeline_authors_stage_mega_key_lineage(tmp_path):
     smith = ents[ents.author_key == "j smith"]
     assert len(smith) == 200                      # nothing vanished
     assert smith.entity_id.nunique() == 8         # sub-entities recovered
+
+
+def test_run_pipeline_serve_tables(spark, tmp_path):
+    """--serve-tables materializes the point-lookup snapshot from the run's
+    own NER pass; KGIndex answers lookups over it and KGServer fronts it
+    over HTTP — the reference's index-build -> servlet flow end to end."""
+    import json
+    import subprocess
+    import sys
+    import urllib.request
+
+    outdir = str(tmp_path / "kgout_serve")
+    servedir = str(tmp_path / "serving")
+    r = subprocess.run(
+        [sys.executable, "scripts/run_pipeline.py",
+         "--synthetic", "150", "--cores", "4",
+         "--output", outdir, "--serve-tables", servedir],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    paths = s["serving_tables"]
+    assert set(paths) == {"inverted", "lexicon", "hierarchy"}
+
+    from pmcanalysis_spark.serving import KGIndex
+    from pmcanalysis_spark.server import KGServer
+
+    idx = KGIndex(spark, paths)
+    # the synthetic corpus always mentions the fixture ontology: a root
+    # expansion must return docs, ranked by distinct matched terms
+    roots = [t for t in (r_["term_id"] for r_ in idx.lexicon.collect())
+             if t.startswith("DOID:")]
+    assert roots
+    hits = idx.lookup([roots[0]]).collect()
+    assert hits and hits[0]["n_matched"] >= 1
+    with KGServer(idx) as srv:
+        got = json.loads(urllib.request.urlopen(
+            srv.url + f"/lookup?term={roots[0]}", timeout=60).read())
+        assert got == [
+            {"doc_id": h["doc_id"], "n_matched": h["n_matched"]} for h in hits
+        ]
