@@ -47,6 +47,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -160,6 +161,23 @@ class SnapshotTable:
         snap = self.snapshot(version)
         paths = [os.path.join(self.root, "data", d) for d in snap["files"]]
         return self.spark.read.parquet(*paths)
+
+    def diff(self, from_version: int, to_version: int) -> DataFrame:
+        """Row-level diff between two snapshots: what a consumer pinned to
+        ``from_version`` sees change when it advances to ``to_version`` —
+        the audit step before promoting a new KG build. Returns the union
+        of added and removed rows with a ``_change`` column ('added' /
+        'removed'); multiset semantics (``exceptAll``), so duplicate-count
+        changes surface too.
+
+        Plan shape: two snapshot scans + the exceptAll anti-shuffles on the
+        full row — at scale, run it column-pruned by selecting the key
+        columns from ``read(v)`` first if rows are wide."""
+        old = self.read(from_version)
+        new = self.read(to_version)
+        added = new.exceptAll(old).withColumn("_change", F.lit("added"))
+        removed = old.exceptAll(new).withColumn("_change", F.lit("removed"))
+        return added.unionByName(removed)
 
     # -- maintenance -------------------------------------------------------
     def compact(

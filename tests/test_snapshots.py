@@ -164,3 +164,21 @@ def test_compact_noop_and_conflict_cleanup(spark, tmp_path):
         t.compact(target_file_size_bytes=1 << 30)
     # the loser's rewritten dir was removed
     assert set(os.listdir(os.path.join(t.root, "data"))) == before
+
+
+def test_diff_between_snapshots(spark, tmp_path):
+    """Advancing a pinned consumer: append shows as pure adds; overwrite
+    shows removed+added; multiset semantics count duplicates."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3))                                  # v1: 0,1,2
+    t.commit(_df(spark, 3, 5), mode="append")                   # v2: +3,4
+    d12 = {(r.id, r._change) for r in t.diff(1, 2).collect()}
+    assert d12 == {(3, "added"), (4, "added")}
+    t.commit(_df(spark, 2, 4), mode="overwrite")                # v3: 2,3
+    d23 = {(r.id, r._change) for r in t.diff(2, 3).collect()}
+    assert d23 == {(0, "removed"), (1, "removed"), (4, "removed")}
+    # duplicate-count change surfaces under exceptAll
+    dup = _df(spark, 2, 3)
+    t.commit(dup, mode="append")                                # v4: 2,3,2
+    d34 = [(r.id, r._change) for r in t.diff(3, 4).collect()]
+    assert d34 == [(2, "added")]
