@@ -205,3 +205,19 @@ def test_bm25_broadcasts_lexicon_and_stats(spark):
         "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan
     )
     assert "CartesianProduct" not in plan
+
+
+def test_length_quantiles_approx_partial_aggregates(spark):
+    """The default (sketch) quantile path must partial-aggregate map-side —
+    partial_percentile_approx below ONE exchange on the group key — and the
+    scan must prune to (text, source). The exact anchor buffers whole
+    groups by design, so only the default path carries the scale contract."""
+    from pmcanalysis_spark.operators.textstats import length_quantiles
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "tok " * (i % 7 + 1), f"s{i % 3}", "en", 4) for i in range(60)],
+        "doc_id string, text string, source string, lang string, n_chars int",
+    )
+    plan = _plan(length_quantiles(docs))
+    assert "partial_percentile_approx" in plan
+    assert plan.count("Exchange") == 1
