@@ -1496,6 +1496,24 @@ def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_pagerank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, two fixed power iterations over the DIRECTED (a < b)
+    co-occurrence edges (r5): exact_sums=True routes the per-iteration
+    inflow/dangling SUMs through DECIMAL(28,12), so the DuckDB oracle
+    unrolls the same two iterations value-exactly — the previously
+    fixture-only iterative op now carries a full oracle. The greatest term
+    has no out-edge, so the dangling-mass path is live in the gate."""
+    from pmcanalysis_spark.operators.graph import pagerank
+
+    e = _term_pairs(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    pr = pagerank(e, max_iter=2, tol=-1.0, exact_sums=True)
+    return pr.select(
+        F.col("id").alias("term_id"), F.round("rank", 6).alias("rank")
+    )
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-occurrence KG (r4): oriented-wedge join,
     each triangle counted exactly once."""
@@ -1798,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in r5 (added after the r5 gate was locked; slated to rotate
         # -- into the r6 gate per COVERAGE.md) --
         "sim_ivf_trained": q_sim_ivf_trained,
+        "kg_pagerank2": q_kg_pagerank2,
     }
 
 
@@ -2830,6 +2849,57 @@ def oracle_sql() -> dict[str, str]:
           FROM pairs ab
           JOIN pairs bc ON ab.b = bc.a
           JOIN pairs ac ON ac.a = ab.a AND ac.b = bc.b
+        """,
+        # the two power iterations unrolled; the DECIMAL(28,12) inflow and
+        # dangling sums replay graph.pagerank(exact_sums=True) value-exactly,
+        # and every scalar op keeps the operator's exact order ((1.0-0.85)/n,
+        # 0.85 * (inflow + d/n)) so the doubles agree bit for bit
+        "kg_pagerank2": _MENTIONS_SQL + """,
+          pairs AS (
+            SELECT DISTINCT a.term_id AS a, b.term_id AS b
+            FROM mentions a JOIN mentions b
+              ON a.doc_id = b.doc_id AND a.term_id < b.term_id
+          ),
+          e AS (SELECT a AS src, b AS dst FROM pairs),
+          verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+          nn AS (SELECT COUNT(*) AS n FROM verts),
+          outdeg AS (SELECT src, COUNT(*) AS out FROM e GROUP BY src),
+          r0 AS (SELECT v.id, 1.0 / nn.n AS rank FROM verts v CROSS JOIN nn),
+          c1 AS (
+            SELECT e.dst AS id,
+                   CAST(SUM(CAST(r.rank / o.out AS DECIMAL(28, 12))) AS DOUBLE) AS inflow
+            FROM r0 r JOIN outdeg o ON r.id = o.src JOIN e ON e.src = o.src
+            GROUP BY e.dst
+          ),
+          d1 AS (
+            SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(28, 12))) AS DOUBLE), 0.0) AS d
+            FROM r0 r LEFT JOIN outdeg o ON r.id = o.src WHERE o.src IS NULL
+          ),
+          r1 AS (
+            SELECT v.id,
+                   (1.0 - 0.85) / nn.n
+                     + 0.85 * (COALESCE(c.inflow, 0.0) + d1.d / nn.n) AS rank
+            FROM verts v CROSS JOIN nn CROSS JOIN d1
+            LEFT JOIN c1 c ON c.id = v.id
+          ),
+          c2 AS (
+            SELECT e.dst AS id,
+                   CAST(SUM(CAST(r.rank / o.out AS DECIMAL(28, 12))) AS DOUBLE) AS inflow
+            FROM r1 r JOIN outdeg o ON r.id = o.src JOIN e ON e.src = o.src
+            GROUP BY e.dst
+          ),
+          d2 AS (
+            SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(28, 12))) AS DOUBLE), 0.0) AS d
+            FROM r1 r LEFT JOIN outdeg o ON r.id = o.src WHERE o.src IS NULL
+          ),
+          r2 AS (
+            SELECT v.id,
+                   (1.0 - 0.85) / nn.n
+                     + 0.85 * (COALESCE(c.inflow, 0.0) + d2.d / nn.n) AS rank
+            FROM verts v CROSS JOIN nn CROSS JOIN d2
+            LEFT JOIN c2 c ON c.id = v.id
+          )
+          SELECT id AS term_id, ROUND(ROUND(rank, 9), 6) AS rank FROM r2
         """,
         "dd_repeated_spans": _SPAN_OCC_SQL + """
           SELECT span, COUNT(DISTINCT doc_id) AS n_docs,

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "dd_cut_runs",
     "ts_length_quantiles",
     "sim_ivf_trained",
+    "kg_pagerank2",
 ]
 
 

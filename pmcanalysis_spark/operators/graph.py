@@ -104,6 +104,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     vertices: DataFrame | None = None,
+    exact_sums: bool = False,
 ) -> DataFrame:
     """(id, rank): PageRank over the DIRECTED edge table by power
     iteration expressed as DataFrame joins — rank flows src -> dst,
@@ -113,10 +114,20 @@ def pagerank(
     vertex ids), then groupBy(dst) sum — two shuffles, the GraphFrames
     shape. Convergence = L1 delta <= tol (one 1-row aggregate per
     iteration); lineage truncated via localCheckpoint every 5 iterations
-    exactly like ``canonicalize.connected_components``. Iterative and not
-    SQL-expressible — verified against hand-computed fixtures in pytest
-    (no DuckDB oracle by design).
+    exactly like ``canonicalize.connected_components``. Verified against
+    hand-computed fixtures in pytest; ``exact_sums=True`` additionally
+    routes the two per-iteration SUMs (inflow, dangling mass) through
+    DECIMAL(28,12) so every iteration's ranks are order-independent —
+    bit-reproducible under any partitioning, and replayable by a SQL
+    oracle with the iterations unrolled (``kg_pagerank2``), the same
+    recipe as ``similarity.train_centroids``. All other per-row arithmetic
+    is plain double on both sides, so identical inputs stay identical.
     """
+
+    def _sum(col):
+        if exact_sums:
+            return F.sum(col.cast("decimal(28,12)")).cast("double")
+        return F.sum(col)
     from pyspark.storagelevel import StorageLevel
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
@@ -142,12 +153,12 @@ def pagerank(
             .join(e, "src")
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out")).alias("c"))
             .groupBy("id")
-            .agg(F.sum("c").alias("inflow"))
+            .agg(_sum(F.col("c")).alias("inflow"))
         )
         # dangling vertices (no out-edges) spread their rank uniformly
         dangling = (
             ranks.join(outdeg, ranks.id == outdeg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+            .agg(F.coalesce(_sum(F.col("rank")), F.lit(0.0)).alias("d"))
         )
         new_ranks = (
             verts.join(contrib, "id", "left")

@@ -94,3 +94,23 @@ def test_pagerank_matches_python_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     for v, rv in exp.items():
         assert abs(got[v] - rv) < 1e-5, (v, got[v], rv)
+
+
+def test_pagerank_exact_sums_matches_default(spark):
+    """The DECIMAL(28,12) sum mode is the same algorithm, just
+    order-independent: ranks agree with the default float path to well
+    under the decimal quantum on a fixture graph with dangling mass."""
+    from pmcanalysis_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("e", "a")],
+        "src string, dst string",
+    )
+    base = {r["id"]: r["rank"] for r in
+            pagerank(edges, max_iter=3, tol=-1.0).collect()}
+    exact = {r["id"]: r["rank"] for r in
+             pagerank(edges, max_iter=3, tol=-1.0, exact_sums=True).collect()}
+    assert set(base) == set(exact)
+    for k in base:
+        assert abs(base[k] - exact[k]) < 1e-9, (k, base[k], exact[k])
+    assert abs(sum(exact.values()) - 1.0) < 1e-6
