@@ -221,3 +221,18 @@ def test_length_quantiles_approx_partial_aggregates(spark):
     plan = _plan(length_quantiles(docs))
     assert "partial_percentile_approx" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_pagerank_iteration_never_cartesian(spark):
+    """Each power iteration is equi-joins + grouped aggregation; the only
+    nested-loop allowed is the 1-row dangling-mass broadcast scalar. A
+    CartesianProduct here would be the O(V·E) disaster plan."""
+    from pmcanalysis_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")],
+        "src string, dst string",
+    )
+    out = pagerank(edges, max_iter=2, tol=-1.0, exact_sums=True)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
