@@ -1575,6 +1575,50 @@ def q_dd_cut_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut_repeated_runs(_docs(spark, sf_dir), span_len=8, min_count=2)
 
 
+def q_dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (r5): docs with doc_id % 37 == 0 act as
+    the held-out eval/benchmark set; every remaining training doc is
+    flagged if it shares any 8-token window with it — the GPT-3
+    Appendix-C / Pile n-gram overlap filter. The corpus's planted
+    duplicates guarantee live contaminated rows. Eval grams are broadcast
+    (benchmarks are MBs against the corpus); training grams never
+    shuffle — the only exchange is the per-doc count on doc_id."""
+    from pmcanalysis_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    tr = docs.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(tr, ev, n=8)
+
+
+def q_dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (r5, arXiv:2303.09540): k-means cells from the vec_id<8
+    deterministic quantizer (same as sim_ivf_topk), within-cell cosine
+    prune at 0.95 over the corpus with planted near-dups — the lowest id
+    in a semantic-duplicate group wins, so keep=false rows are exactly
+    the planted +100000 twins that share a cell with their original."""
+    from pmcanalysis_spark.operators.dedup import semantic_dedup
+
+    aug = _aug_embeddings(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["vec"]])
+        for r in aug.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return semantic_dedup(
+        aug, cents, id_col="vec_id", vec_col="vec", threshold=0.95
+    )
+
+
+def q_ts_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global epoch shuffle (r5): the training-order
+    manifest — global rank under ORDER BY (md5 shuffle key, doc_id),
+    seed 11, computed by the two-phase zipWithIndex scheme (range
+    partition + broadcast prefix offsets), never a one-task sort."""
+    from pmcanalysis_spark.operators.textstats import shuffle_order
+
+    return shuffle_order(_docs(spark, sf_dir), seed=11)
+
+
 def q_kg_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving snippet highlighting (r5): +-30-char fragment around the
     first occurrence of each lexicon name, match wrapped in <b></b> — the
@@ -1817,6 +1861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- into the r6 gate per COVERAGE.md) --
         "sim_ivf_trained": q_sim_ivf_trained,
         "kg_pagerank2": q_kg_pagerank2,
+        "dd_decontaminate": q_dd_decontaminate,
+        "dd_semdedup": q_dd_semdedup,
+        "ts_shuffle_order": q_ts_shuffle_order,
     }
 
 
@@ -3169,6 +3216,83 @@ def oracle_sql() -> dict[str, str]:
                          AS n_tokens
                 FROM documents)
           GROUP BY source
+        """,
+        # eval set = doc_id % 37 == 0; the oracle recomputes the same
+        # 8-token windows (_SPAN_OCC_SQL) and the same broadcast-semi
+        # semantics as one JOIN USING (span)
+        "dd_decontaminate": _SPAN_OCC_SQL + """,
+          ev AS (SELECT DISTINCT span FROM occ WHERE doc_id % 37 = 0),
+          tr AS (SELECT doc_id, span FROM occ WHERE doc_id % 37 <> 0),
+          per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id),
+          hits AS (
+            SELECT tr.doc_id, COUNT(*) AS n_contaminated
+            FROM tr JOIN ev USING (span) GROUP BY tr.doc_id
+          )
+          SELECT d.doc_id,
+                 COALESCE(p.n_grams, 0) AS n_grams,
+                 COALESCE(h.n_contaminated, 0) AS n_contaminated,
+                 ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+                       / greatest(COALESCE(p.n_grams, 0), 1), 6) AS contam_frac,
+                 COALESCE(h.n_contaminated, 0) >= 1 AS contaminated
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+          LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+          LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """,
+        # same augmented corpus as dd_embedding_neardup_scalable, same
+        # vec_id<8 quantizer + tie order as sim_ivf_topk; the keep rule
+        # compares on ROUND(cosine, 6) exactly like the Spark kernel
+        "dd_semdedup": """
+          WITH base AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+          ),
+          v AS (
+            SELECT vec_id, vec FROM base
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   list_prepend(vec[1] * 1.2, vec[2:]) AS vec
+            FROM base WHERE vec_id < 50
+          ),
+          c AS (SELECT vec_id AS cell, vec AS cvec FROM v WHERE vec_id < 8),
+          assign AS (
+            SELECT vec_id, vec, cell FROM (
+              SELECT v.vec_id, v.vec, c.cell,
+                ROW_NUMBER() OVER (
+                  PARTITION BY v.vec_id
+                  ORDER BY list_dot_product(v.vec, c.cvec)
+                        / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                    c.cell ASC
+                ) AS rn
+              FROM v CROSS JOIN c
+            ) WHERE rn = 1
+          ),
+          dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM assign a JOIN assign b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ROUND(
+              list_dot_product(a.vec, b.vec)
+              / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6
+            ) >= 0.95
+          )
+          SELECT s.vec_id, s.cell, d.vec_id IS NULL AS keep
+          FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+        """,
+        # the epoch-shuffle manifest: rank under ORDER BY (md5 key, id) —
+        # the oracle's one global sort IS the semantics the two-phase
+        # Spark scheme must reproduce exactly
+        "ts_shuffle_order": """
+          SELECT doc_id, shuffle_key,
+                 CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
+                      AS BIGINT) AS order_idx
+          FROM (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(concat('11', '|',
+                        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                     AS shuffle_key
+            FROM documents
+          )
         """,
     }
 

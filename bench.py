@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "ts_length_quantiles",
     "sim_ivf_trained",
     "kg_pagerank2",
+    "dd_decontaminate",
+    "dd_semdedup",
+    "ts_shuffle_order",
 ]
 
 

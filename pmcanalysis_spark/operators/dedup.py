@@ -982,3 +982,165 @@ def minhash_jaccard_estimate(
             F.round(agree.cast("double") / num_hashes, 6).alias("est_jaccard"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    ``n``-token window with an evaluation/benchmark corpus — the GPT-3
+    Appendix-C / Pile-style n-gram overlap filter every released training
+    set runs before the eval table means anything. One row per training
+    doc: (doc_id, n_grams, n_contaminated, contam_frac, contaminated)
+    where n_contaminated counts this doc's window POSITIONS whose n-gram
+    occurs anywhere in the eval corpus and contaminated = n_contaminated
+    >= min_hits. Docs shorter than ``n`` tokens have no windows and report
+    n_grams = 0, contaminated only if min_hits == 0 is never the case
+    (min_hits >= 1), i.e. false.
+
+    Scale plan: the eval corpus is tiny next to the training corpus
+    (benchmarks are MBs against 100 TB), so its DISTINCT n-gram set is
+    built once and BROADCAST — the training side is one narrow
+    split/explode_outer (gram-less docs emit one NULL-span row, so every
+    doc reaches the output without a join back to the base table) into a
+    broadcast LEFT join that marks hits, then ONE groupBy(doc_id) counts
+    grams and hits together. Exactly one exchange in the whole plan (the
+    per-doc agg on a unique key, map-side partials); no SortMergeJoin
+    anywhere; nothing depends on eval x train pairing."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.filter(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        lambda g: F.size(F.split(g, " ")) == n,
+    )
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("span")
+    )
+    ev = (
+        span_occurrences(eval_docs, eval_id_col, eval_text_col, n)
+        .select("span")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    marked = occ.join(F.broadcast(ev), "span", "left")
+    agg = marked.groupBy("doc_id").agg(
+        F.count("span").alias("n_grams"),
+        F.count("_hit").alias("n_contaminated"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated").cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1)),
+            6,
+        ).alias("contam_frac"),
+        (F.col("n_contaminated") >= min_hits).alias("contaminated"),
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_group_size: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine pruning —
+    the embedding-space complement of the LSH near-dup path, and the shape
+    that scales when you already maintain a trained coarse quantizer
+    (``similarity.train_centroids``). A vector is DROPPED iff some
+    lower-id vector in the SAME cell has ROUND(cosine, 6) >= threshold
+    (the paper keeps one representative per semantic-duplicate group; we
+    pin the deterministic lowest-id-wins order so two engines agree
+    row-for-row). One row per vector: (vec_id, cell, keep).
+
+    Scale plan: assignment is ONE narrow mapInPandas matmul against the
+    broadcast centroid matrix (similarity.ivf_assign) — no shuffle; the
+    pairwise check happens INSIDE each cell group (applyInPandas, one
+    V @ V.T per cell), so work is ∝ Σ_cell |cell|² — bounded by the
+    quantizer's balance, never corpus-quadratic, and a residual mega cell
+    (duplicates cluster together BY DESIGN) splits into chunk-pair groups
+    of <= 2*max_group_size rows (similarity._chunk_pairs) with verdicts
+    OR-merged per vector, so per-task memory stays bounded and each pair
+    is still checked exactly once. Cosines are rounded to 6 decimals
+    BEFORE the threshold compare so a last-ulp BLAS-vs-fold difference
+    cannot flip a keep decision (the module-wide oracle convention)."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _chunk_pairs, ivf_assign
+
+    assigned = ivf_assign(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col, impl="numpy"
+    )
+
+    empty = pd.DataFrame({"id": pd.Series([], dtype="int64")})
+
+    def _dropped(ids_a, ids_b, G):
+        """ids of b-side vectors with an a-side neighbor of smaller id and
+        rounded cosine >= threshold."""
+        hit = (np.round(G, 6) >= threshold) & (
+            ids_a[:, None] < ids_b[None, :]
+        )
+        out = np.unique(ids_b[hit.any(axis=0)])
+        return pd.DataFrame({"id": out}) if len(out) else empty
+
+    def drop_in_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n <= 1:
+            return empty
+        ids = pdf["id"].to_numpy(dtype="int64")
+        V = np.vstack(pdf["vec"].to_numpy())
+        norms = pdf["norm"].to_numpy(dtype="float64")
+        G = (V @ V.T) / np.outer(norms, norms)
+        return _dropped(ids, ids, G)
+
+    def drop_in_chunk_pair(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n <= 1:
+            return empty
+        ci, cj = int(pdf["ci"].iat[0]), int(pdf["cj"].iat[0])
+        ids = pdf["id"].to_numpy(dtype="int64")
+        V = np.vstack(pdf["vec"].to_numpy())
+        norms = pdf["norm"].to_numpy(dtype="float64")
+        if ci == cj:
+            G = (V @ V.T) / np.outer(norms, norms)
+            return _dropped(ids, ids, G)
+        ma = pdf["_c"].to_numpy() == ci
+        if not ma.any() or ma.all():
+            return empty
+        G = (V[ma] @ V[~ma].T) / np.outer(norms[ma], norms[~ma])
+        # cross block: smaller-id may sit on either side
+        d1 = _dropped(ids[ma], ids[~ma], G)
+        d2 = _dropped(ids[~ma], ids[ma], G.T)
+        return pd.concat([d1, d2], ignore_index=True)
+
+    if max_group_size is None:
+        dropped = assigned.groupBy("cell").applyInPandas(
+            drop_in_cell, "id long"
+        )
+    else:
+        chunked = _chunk_pairs(assigned, ["cell"], max_group_size)
+        dropped = chunked.groupBy("cell", "ci", "cj").applyInPandas(
+            drop_in_chunk_pair, "id long"
+        )
+    dropped = dropped.distinct()
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cell",
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )

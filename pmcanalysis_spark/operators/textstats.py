@@ -708,3 +708,62 @@ def length_quantiles(
     return base.groupBy("source").agg(
         F.count("*").alias("n_docs"), *[q(p) for p in probs]
     )
+
+
+def shuffle_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training order — the epoch-shuffle manifest:
+    (doc_id, shuffle_key, order_idx) where order_idx is the 0-based global
+    rank under ORDER BY (shuffle_key, doc_id) and shuffle_key =
+    portable_hash64(seed || doc_id). A loader streams the corpus in
+    order_idx order and gets a reproducible uniform shuffle; a new seed is
+    a new epoch permutation. Pure function of (seed, id): no RNG state, no
+    partitioning dependence, identical across engines (the DuckDB oracle
+    recomputes the hash and a ROW_NUMBER verbatim).
+
+    The global rank is computed WITHOUT a single-task sort (the naive
+    ``Window.orderBy(key)`` collapses 100 TB onto one core): range-partition
+    on (shuffle_key, doc_id) — md5-uniform keys, so ranges balance by
+    construction — persist the ranged stage (repartitionByRange samples
+    boundaries PER EXECUTION; both the counts job and the rank job must
+    see the SAME partitioning), collect the tiny P-row per-partition
+    counts, broadcast the prefix offsets back, and row_number WITHIN each
+    partition. Same two-phase zipWithIndex shape as ``pack_sequences``."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from .dedup import portable_hash64
+
+    spark = docs.sparkSession
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        portable_hash64(F.col(id_col).cast("string"), seed).alias("shuffle_key"),
+    )
+    p = partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        d.repartitionByRange(p, "shuffle_key", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += int(counts[pid])
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("shuffle_key", "doc_id")
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("_off") + F.row_number().over(w) - 1).alias("order_idx"),
+        )
+    )

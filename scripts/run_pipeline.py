@@ -94,6 +94,11 @@ def main(argv: list[str] | None = None) -> int:
                          "(rewrite_data_files) on the table toward this file "
                          "size; no-op when the current snapshot is already "
                          "one data-file group")
+    ap.add_argument("--train-bpe", type=int, default=0,
+                    help="learn N BPE merges from the (cleaned) corpus text "
+                         "and materialize the merge table as a bpe_merges "
+                         "stage — the tokenizer-training step of the "
+                         "training-data pipeline (operators/bpe.py)")
     ap.add_argument("--serve-tables", default=None,
                     help="also materialize the point-lookup serving snapshot "
                          "(sorted inverted index + lexicon + hierarchy) at this "
@@ -303,6 +308,26 @@ def main(argv: list[str] | None = None) -> int:
         summary["n_author_entities"] = ares.row_count
         summary["n_mega_keys"] = mkres.row_count
         summary["authors_resumed"] = ares.resumed
+
+    # optional tokenizer-training stage: learn the BPE merge table from the
+    # same (cleaned) page text the triples build reads; the merge table is a
+    # materialized KB-scale artifact (rank, left, right, count) any encoder
+    # job replays via encode_bpe
+    if args.train_bpe and not args.stream:
+        from pmcanalysis_spark.operators.bpe import train_bpe
+
+        merges = train_bpe(
+            load_pages().select("url", "text"), n_merges=args.train_bpe
+        )
+        merges_df = spark.createDataFrame(
+            merges or [], "rank int, left string, right string, count long"
+        )
+        _, bres = materialize_stage(
+            merges_df, "bpe_merges", args.output, key_col="rank",
+            fingerprint=stage_fp + f"|bpe|{args.train_bpe}",
+        )
+        summary["n_bpe_merges"] = bres.row_count
+        summary["bpe_resumed"] = bres.resumed
 
     # optional media-features stage: decode / feature-extract / frame-sample
     # through ONE Arrow-batched pass, with the production codec routed in

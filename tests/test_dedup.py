@@ -538,3 +538,94 @@ def test_cut_repeated_runs_removes_exactly_the_block(spark):
     assert got["b"] == ("v1 v2 v3 v4 v5 v6", 6)
     assert got["c"][1] == 0
     assert got["c"][0] == "entirely unique text with no duplication anywhere at all"
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    """Planted contamination: a training doc shares a 4-gram with the eval
+    set; clean docs and sub-n docs stay unflagged; min_hits raises the bar."""
+    from pmcanalysis_spark.operators.dedup import decontaminate
+
+    leak = "the quick brown fox"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} trailing text here"),
+            (2, "completely clean training document with original words"),
+            (3, "short doc"),  # < n tokens: no grams, never contaminated
+            (4, f"{leak} {leak} padded out with more tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"benchmark question mentioning {leak} verbatim")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_contaminated, r.contaminated)
+        for r in decontaminate(train, ev, n=4).collect()
+    }
+    assert len(got) == 4  # one row per training doc, always
+    assert got[1][1] == 1 and got[1][2] is True
+    assert got[2] == (4, 0, False)  # 7 tokens -> 4 windows of 4
+    assert got[3] == (0, 0, False)
+    # doc 4 hits the eval gram at two positions
+    assert got[4][1] >= 2 and got[4][2] is True
+
+    # min_hits=2: the single-hit doc drops back to clean
+    strict = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(train, ev, n=4, min_hits=2).collect()
+    }
+    assert strict[1] is False and strict[4] is True
+
+
+def test_semantic_dedup_within_cell_lowest_id_wins(spark):
+    """Two well-separated cells; exact duplicates planted in each cell.
+    The lowest id of each duplicate group keeps, its twins drop, and a
+    cross-cell near-dup is NOT dropped (the SemDeDup recall tradeoff —
+    pruning only sees within-cell pairs)."""
+    from pmcanalysis_spark.operators.dedup import semantic_dedup
+
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    rows = [
+        (10, [1.0, 0.01, 0.0]),   # cell 0, original
+        (11, [1.0, 0.01, 0.0]),   # cell 0, exact dup of 10 -> dropped
+        (12, [0.8, 0.3, 0.5]),    # cell 0, cosine vs 10 ~0.81 -> kept
+        (20, [0.0, 1.0, 0.02]),   # cell 1, original
+        (21, [0.0, 1.0, 0.02]),   # cell 1, exact dup of 20 -> dropped
+        (22, [0.0, 1.0, 0.021]),  # cell 1, near-dup of 20 -> dropped
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.cell, r.keep) for r in
+           semantic_dedup(emb, cents, threshold=0.99).collect()}
+    assert len(got) == 6
+    assert got[10] == (0, True) and got[11] == (0, False)
+    assert got[12] == (0, True)
+    assert got[20] == (1, True) and got[21] == (1, False)
+    assert got[22] == (1, False)
+
+
+def test_semantic_dedup_chunked_identical(spark):
+    """The mega-cell chunk-pair guard must not change a single verdict:
+    max_group_size=3 (forces multi-chunk cells) == uncapped, on a corpus
+    where one cell holds many near-identical vectors."""
+    from pmcanalysis_spark.operators.dedup import semantic_dedup
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows = [(i, [1.0, 0.001 * i]) for i in range(20)] + [
+        (100 + i, [0.001 * i, 1.0]) for i in range(5)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = sorted(
+        (r.vec_id, r.cell, r.keep)
+        for r in semantic_dedup(emb, cents, threshold=0.999,
+                                max_group_size=None).collect()
+    )
+    chunked = sorted(
+        (r.vec_id, r.cell, r.keep)
+        for r in semantic_dedup(emb, cents, threshold=0.999,
+                                max_group_size=3).collect()
+    )
+    assert base == chunked
+    # sanity: the dense cell really did drop someone, and id 0 survived
+    kept0 = [v for v, c, k in base if c == 0 and k]
+    assert 0 in kept0 and len(kept0) < 20

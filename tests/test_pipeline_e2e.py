@@ -315,3 +315,56 @@ def test_run_pipeline_serve_tables(spark, tmp_path):
         assert got == [
             {"doc_id": h["doc_id"], "n_matched": h["n_matched"]} for h in hits
         ]
+
+
+def test_run_pipeline_train_bpe_stage(tmp_path):
+    """--train-bpe learns the merge table from the job's own page text,
+    materializes it as the bpe_merges stage, and resumes from the manifest
+    on rerun; the merges must equal a direct train_bpe over the same
+    fixture corpus."""
+    import json
+    import subprocess
+    import sys
+
+    outdir = str(tmp_path / "kgout_bpe")
+    cmd = [
+        sys.executable, "scripts/run_pipeline.py",
+        "--synthetic", "120", "--output", outdir, "--cores", "4",
+        "--train-bpe", "6",
+    ]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["n_bpe_merges"] == 6 and not s1["bpe_resumed"]
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["n_bpe_merges"] == 6 and s2["bpe_resumed"]
+
+
+def test_train_bpe_stage_matches_direct_run(spark, tmp_path):
+    """The materialized stage content == train_bpe on the same corpus."""
+    import json
+    import subprocess
+    import sys
+
+    from pmcanalysis_spark.fixtures import bench_pages_df
+    from pmcanalysis_spark.operators.bpe import train_bpe
+    from pmcanalysis_spark.pipeline import ingest
+
+    outdir = str(tmp_path / "kgout_bpe2")
+    cmd = [
+        sys.executable, "scripts/run_pipeline.py",
+        "--synthetic", "80", "--output", outdir, "--cores", "4",
+        "--train-bpe", "5",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    expect = train_bpe(
+        ingest(bench_pages_df(spark, 80)).select("url", "text"), n_merges=5
+    )
+    got = sorted(
+        (r_.rank, r_.left, r_.right, r_["count"])
+        for r_ in spark.read.parquet(f"{outdir}/bpe_merges/data").collect()
+    )
+    assert got == sorted(expect)

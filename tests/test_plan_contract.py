@@ -236,3 +236,40 @@ def test_pagerank_iteration_never_cartesian(spark):
     out = pagerank(edges, max_iter=2, tol=-1.0, exact_sums=True)
     plan = _plan(out)
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval n-gram set must reach the training side as a BROADCAST
+    hit-marking join (benchmarks are MBs against a 100 TB corpus —
+    shuffling training grams against them would be the scale killer), and
+    the whole plan must hold at ONE exchange: the per-doc agg. The
+    explode_outer design means no join back to the base table, so no
+    SortMergeJoin may appear anywhere."""
+    from pmcanalysis_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} a b c d e f g h") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = decontaminate(docs.filter("doc_id % 4 != 0"),
+                        docs.filter("doc_id % 4 = 0"), n=4)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one data exchange (the doc_id agg) + one BroadcastExchange; the eval
+    # gram DISTINCT adds its own small exchange on the broadcast side only
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+
+
+def test_shuffle_order_no_single_partition_exchange(spark):
+    """The global rank must come from the two-phase scheme: no
+    SinglePartition exchange anywhere (a naive Window.orderBy would
+    collapse the corpus onto one task)."""
+    from pmcanalysis_spark.operators.textstats import shuffle_order
+
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = shuffle_order(docs, seed=3, partitions=4)
+    plan = _plan(out)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()

@@ -339,3 +339,42 @@ def test_length_quantiles_approx_within_rank_error(spark):
         hi = srt[min(n - 1, int(p * n) + 1)]
         assert lo <= approx[col] <= hi, (col, approx[col], lo, hi)
         assert exact[col] >= lo - 1 and exact[col] <= hi + 1
+
+
+def test_shuffle_order_is_md5_permutation(spark):
+    """order_idx is exactly 0..n-1; the order matches a Python replica of
+    the md5 rank rule; the result is partitioning-invariant (the two-phase
+    offsets describe the same global order at any parallelism); a new seed
+    is a different permutation."""
+    import hashlib
+
+    from pmcanalysis_spark.operators.textstats import shuffle_order
+
+    ids = list(range(200))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    def key(seed, i):
+        return int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16)
+
+    expect = {
+        i: rank
+        for rank, (_, i) in enumerate(sorted((key(11, i), i) for i in ids))
+    }
+    got = {r.doc_id: r.order_idx for r in shuffle_order(docs, seed=11).collect()}
+    assert got == expect
+    assert sorted(got.values()) == list(range(200))
+
+    # partition-count invariance: 1 partition and 7 partitions, same order
+    one = {
+        r.doc_id: r.order_idx
+        for r in shuffle_order(docs.coalesce(1), seed=11, partitions=1).collect()
+    }
+    seven = {
+        r.doc_id: r.order_idx
+        for r in shuffle_order(docs.repartition(7), seed=11, partitions=7).collect()
+    }
+    assert one == expect and seven == expect
+
+    other = {r.doc_id: r.order_idx for r in shuffle_order(docs, seed=12).collect()}
+    assert sorted(other.values()) == list(range(200))
+    assert other != got
