@@ -1619,6 +1619,17 @@ def q_ts_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_order(_docs(spark, sf_dir), seed=11)
 
 
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training iteration, distributed half (r5): top-20
+    adjacent character pairs over the corpus word-frequency table in the
+    trainer's exact merge order — the cross-engine anchor for
+    operators/bpe.py's pair-count stage (the sequential merge application
+    is pytest-pinned to a scalar reference; see tests/test_bpe.py)."""
+    from pmcanalysis_spark.operators.bpe import top_pairs
+
+    return top_pairs(_docs(spark, sf_dir), k=20)
+
+
 def q_kg_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving snippet highlighting (r5): +-30-char fragment around the
     first occurrence of each lexicon name, match wrapped in <b></b> — the
@@ -1864,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_decontaminate": q_dd_decontaminate,
         "dd_semdedup": q_dd_semdedup,
         "ts_shuffle_order": q_ts_shuffle_order,
+        "bpe_top_pairs": q_bpe_top_pairs,
     }
 
 
@@ -3293,6 +3305,36 @@ def oracle_sql() -> dict[str, str]:
                      AS shuffle_key
             FROM documents
           )
+        """,
+        # the first BPE iteration's pair counts: chars + trailing </w>,
+        # every adjacent position weighted by word frequency, the trainer's
+        # (count DESC, pair ASC) merge order
+        "bpe_top_pairs": """
+          WITH wf AS (
+            SELECT word, COUNT(*) AS freq FROM (
+              SELECT unnest(list_filter(string_split(text, ' '),
+                            x -> x <> '')) AS word
+              FROM documents
+            ) GROUP BY word
+          ),
+          syms AS (
+            SELECT list_append(string_split(word, ''), '</w>') AS s, freq
+            FROM wf
+          ),
+          pairs AS (
+            SELECT s[i] AS a, s[i + 1] AS b, freq
+            FROM (SELECT s, freq, unnest(range(1, len(s))) AS i FROM syms)
+          ),
+          agg AS (
+            SELECT a, b, CAST(SUM(freq) AS BIGINT) AS count
+            FROM pairs GROUP BY a, b
+          )
+          SELECT a, b, count,
+            CAST(ROW_NUMBER() OVER (ORDER BY count DESC, a ASC, b ASC)
+                 AS INT) AS rank
+          FROM agg
+          ORDER BY count DESC, a ASC, b ASC
+          LIMIT 20
         """,
     }
 

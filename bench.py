@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "dd_decontaminate",
     "dd_semdedup",
     "ts_shuffle_order",
+    "bpe_top_pairs",
 ]
 
 

@@ -115,6 +115,35 @@ def _apply_merge(state: DataFrame, a: str, b: str) -> DataFrame:
     return state.mapInPandas(apply, "syms array<string>, freq long")
 
 
+def top_pairs(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    lowercase: bool = False,
+    words: DataFrame | None = None,
+) -> DataFrame:
+    """The first BPE iteration's candidate table: top-k adjacent symbol
+    pairs over the initial character alphabet, (a, b, count, rank) in the
+    trainer's exact merge order (count DESC, pair ASC). This is the
+    distributed half of ``train_bpe`` anchored cross-engine (registry
+    query ``bpe_top_pairs`` re-derives it in DuckDB SQL); the sequential
+    merge APPLICATION is the part no SQL oracle can express and stays
+    pinned to the scalar reference in tests/test_bpe.py. Plan: the same
+    column-algebra pair counts as the trainer, then orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps) with the rank window
+    over just k rows."""
+    from pyspark.sql import Window
+
+    w = words if words is not None else word_freqs(docs, text_col, lowercase)
+    pc = _pair_counts(_init_symbols(w))
+    order = [F.desc("count"), F.asc("a"), F.asc("b")]
+    topk = pc.orderBy(*order).limit(k)
+    wnd = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(wnd)).select(
+        "a", "b", "count", "rank"
+    )
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 10,
