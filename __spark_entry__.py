@@ -1619,6 +1619,16 @@ def q_ts_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_order(_docs(spark, sf_dir), seed=11)
 
 
+def q_ts_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest (r5): docs in epoch-shuffle order (seed 11)
+    greedily cut into ~500-token output shards — whole-doc assignment,
+    the WebDataset/tar-shard layout. One two-phase-offsets pass; the
+    oracle's single ordered window IS the semantics."""
+    from pmcanalysis_spark.operators.textstats import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), tokens_per_shard=500, seed=11)
+
+
 def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration, distributed half (r5): top-20
     adjacent character pairs over the corpus word-frequency table in the
@@ -1876,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_semdedup": q_dd_semdedup,
         "ts_shuffle_order": q_ts_shuffle_order,
         "bpe_top_pairs": q_bpe_top_pairs,
+        "ts_shard_manifest": q_ts_shard_manifest,
     }
 
 
@@ -3335,6 +3346,29 @@ def oracle_sql() -> dict[str, str]:
           FROM agg
           ORDER BY count DESC, a ASC, b ASC
           LIMIT 20
+        """,
+        # greedy whole-doc sharding under the epoch-shuffle order: the
+        # exclusive prefix sum of token counts over ORDER BY (md5 key, id)
+        "ts_shard_manifest": """
+          SELECT doc_id,
+                 CAST(floor(start_offset / 500) AS BIGINT) AS shard_id,
+                 start_offset, n_tok
+          FROM (
+            SELECT doc_id, n_tok,
+              CAST(COALESCE(SUM(n_tok) OVER (
+                ORDER BY shuffle_key, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_offset
+            FROM (
+              SELECT doc_id,
+                CAST(concat('0x', substr(md5(concat('11', '|',
+                     CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                  AS shuffle_key,
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS n_tok
+              FROM documents
+            ) WHERE n_tok > 0
+          )
         """,
     }
 

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "dd_semdedup",
     "ts_shuffle_order",
     "bpe_top_pairs",
+    "ts_shard_manifest",
 ]
 
 

@@ -332,6 +332,50 @@ def compression_ratio(
     )
 
 
+def _two_phase_offsets(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Global running-sum bounds of ``weight_col`` under ORDER BY
+    ``order_cols`` WITHOUT a single-task sort — the shared two-phase
+    zipWithIndex scheme (pack_sequences / shuffle_order / shard_manifest):
+    range-partition on the order columns, persist the ranged stage
+    (repartitionByRange samples boundaries PER EXECUTION — the offsets job
+    and the main job must read the SAME partitioning), collect the tiny
+    P-row per-partition totals, broadcast the prefix offsets back, and
+    cumsum WITHIN each partition. Returns the input columns plus
+    (_start, _end) exclusive-prefix / inclusive bounds; output depends
+    only on the order columns, never on the partition count."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(p, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum(weight_col).alias("s")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(totals):
+        offs.append((pid, acc))
+        acc += int(totals[pid])
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("_end", F.col("_off") + F.sum(weight_col).over(w))
+        .withColumn("_start", F.col("_end") - F.col(weight_col))
+        .drop("_pid", "_off")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int = 512,
@@ -346,21 +390,13 @@ def pack_sequences(
     chunk and how many tokens it holds (== seq_len everywhere except the
     tail), i.e. the packing manifest a loader materializes from.
 
-    The global running offset is computed WITHOUT a single-partition window
-    (the naive ``Window.orderBy(doc_id)`` collapses the corpus to one task):
-    range-partition on doc_id, take per-partition token totals (one tiny
-    P-row collect — the same two-phase shape as RDD.zipWithIndex), broadcast
-    the prefix offsets back, then cumsum WITHIN each partition. The ranged
-    stage is persisted first: repartitionByRange samples its boundaries per
-    execution, so the offsets job and the main job must read the SAME
-    partitioning (at production scale this stage is a checkpoint).
-    Output is independent of the partition count — only the doc-id order
-    defines the packing.
+    The global running offset comes from ``_two_phase_offsets`` (the shared
+    zipWithIndex scheme — range partition + persisted ranged stage + tiny
+    P-row collect + broadcast prefix offsets + within-partition cumsum;
+    at production scale the ranged stage is a checkpoint). Output is
+    independent of the partition count — only the doc-id order defines
+    the packing.
     """
-    from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
-
-    spark = docs.sparkSession
     n_tok = F.size(
         F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     )
@@ -368,27 +404,7 @@ def pack_sequences(
         docs.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tok"))
         .filter(F.col("n_tok") > 0)
     )
-    p = partitions or spark.sparkContext.defaultParallelism
-    ranged = (
-        d.repartitionByRange(p, "doc_id")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    totals = {
-        r["_pid"]: r["s"]
-        for r in ranged.groupBy("_pid").agg(F.sum("n_tok").alias("s")).collect()
-    }
-    offs, acc = [], 0
-    for pid in sorted(totals):
-        offs.append((pid, acc))
-        acc += int(totals[pid])
-    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy("doc_id")
-    spans = (
-        ranged.join(F.broadcast(off_df), "_pid")
-        .withColumn("_end", F.col("_off") + F.sum("n_tok").over(w))
-        .withColumn("_start", F.col("_end") - F.col("n_tok"))
-    )
+    spans = _two_phase_offsets(d, ["doc_id"], "n_tok", partitions)
     ch = spans.select(
         "_start",
         "_end",
@@ -726,44 +742,59 @@ def shuffle_order(
     recomputes the hash and a ROW_NUMBER verbatim).
 
     The global rank is computed WITHOUT a single-task sort (the naive
-    ``Window.orderBy(key)`` collapses 100 TB onto one core): range-partition
-    on (shuffle_key, doc_id) — md5-uniform keys, so ranges balance by
-    construction — persist the ranged stage (repartitionByRange samples
-    boundaries PER EXECUTION; both the counts job and the rank job must
-    see the SAME partitioning), collect the tiny P-row per-partition
-    counts, broadcast the prefix offsets back, and row_number WITHIN each
-    partition. Same two-phase zipWithIndex shape as ``pack_sequences``."""
-    from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
-
+    ``Window.orderBy(key)`` collapses 100 TB onto one core): the shared
+    ``_two_phase_offsets`` scheme over (shuffle_key, doc_id) — md5-uniform
+    keys, so ranges balance by construction — with unit weights, so the
+    exclusive prefix sum IS the 0-based rank."""
     from .dedup import portable_hash64
 
-    spark = docs.sparkSession
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         portable_hash64(F.col(id_col).cast("string"), seed).alias("shuffle_key"),
+        F.lit(1).cast("long").alias("_one"),
     )
-    p = partitions or spark.sparkContext.defaultParallelism
-    ranged = (
-        d.repartitionByRange(p, "shuffle_key", "doc_id")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return _two_phase_offsets(
+        d, ["shuffle_key", "doc_id"], "_one", partitions
+    ).select("doc_id", "shuffle_key", F.col("_start").alias("order_idx"))
+
+
+def shard_manifest(
+    docs: DataFrame,
+    tokens_per_shard: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Training-shard assignment — the manifest a writer materializes
+    output files from: (doc_id, shard_id, start_offset, n_tok) where
+    documents are laid out in the deterministic epoch-shuffle order
+    (md5(seed|id), id) and shard_id = floor(start_offset /
+    tokens_per_shard) — the greedy whole-doc sharding (every doc lands
+    wholly in one shard; shard sizes vary around the target by at most
+    one document, the standard WebDataset/tar-shard layout). Composes the
+    epoch shuffle with pack_sequences' offset machinery: reshuffling the
+    corpus cannot change the manifest, a new seed re-deals the shards.
+
+    Plan: ONE ``_two_phase_offsets`` pass over (md5-uniform key, id) with
+    token-count weights — range Exchange + P-row collect + broadcast
+    offsets; no single-task sort, no join. Docs with zero tokens are
+    excluded (they have no bytes to shard)."""
+    from .dedup import portable_hash64
+
+    n_tok = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     )
-    counts = {
-        r["_pid"]: r["c"]
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("c")).collect()
-    }
-    offs, acc = [], 0
-    for pid in sorted(counts):
-        offs.append((pid, acc))
-        acc += int(counts[pid])
-    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy("shuffle_key", "doc_id")
-    return (
-        ranged.join(F.broadcast(off_df), "_pid")
-        .select(
-            "doc_id",
-            "shuffle_key",
-            (F.col("_off") + F.row_number().over(w) - 1).alias("order_idx"),
-        )
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        portable_hash64(F.col(id_col).cast("string"), seed).alias("shuffle_key"),
+        n_tok.alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    return _two_phase_offsets(
+        d, ["shuffle_key", "doc_id"], "n_tok", partitions
+    ).select(
+        "doc_id",
+        F.floor(F.col("_start") / tokens_per_shard).alias("shard_id"),
+        F.col("_start").alias("start_offset"),
+        "n_tok",
     )

@@ -378,3 +378,35 @@ def test_shuffle_order_is_md5_permutation(spark):
     other = {r.doc_id: r.order_idx for r in shuffle_order(docs, seed=12).collect()}
     assert sorted(other.values()) == list(range(200))
     assert other != got
+
+
+def test_shard_manifest_greedy_whole_doc(spark):
+    """Shards hold consecutive shuffle-order docs; every doc lands wholly
+    in one shard; offsets are the exclusive prefix sum; partition-count
+    invariant; conservation: sum(n_tok) == last start + last n_tok."""
+    import hashlib
+
+    from pmcanalysis_spark.operators.textstats import shard_manifest
+
+    rows = [(i, " ".join(["w"] * (5 + i % 7))) for i in range(60)]
+    rows.append((999, ""))  # zero tokens: excluded
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.shard_id, r.start_offset, r.n_tok)
+           for r in shard_manifest(docs, tokens_per_shard=40, seed=5).collect()}
+    assert 999 not in got and len(got) == 60
+
+    def key(i):
+        return int(hashlib.md5(f"5|{i}".encode()).hexdigest()[:15], 16)
+
+    order = sorted(range(60), key=lambda i: (key(i), i))
+    off = 0
+    for i in order:
+        n = 5 + i % 7
+        assert got[i] == (off // 40, off, n), i
+        off += n
+    assert off == sum(5 + i % 7 for i in range(60))
+
+    again = {r.doc_id: (r.shard_id, r.start_offset, r.n_tok)
+             for r in shard_manifest(docs.repartition(7), tokens_per_shard=40,
+                                     seed=5, partitions=3).collect()}
+    assert again == got
