@@ -1619,6 +1619,22 @@ def q_ts_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_order(_docs(spark, sf_dir), seed=11)
 
 
+def q_cls_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier (r5): CCNet/LLaMA-style — train the
+    exact-counting Naive Bayes model on keep_filter's own keep/drop
+    decision (the heuristic seed set), score every document. (doc_id,
+    score, pred); weights are ROUND(6) at training time and the per-doc
+    sum is decimal-exact, so the whole train+score chain replays
+    value-identically in SQL."""
+    from pmcanalysis_spark.operators.classify import nb_score, nb_train
+    from pmcanalysis_spark.operators.textstats import keep_filter
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    labels = keep_filter(docs).select("doc_id", "keep")
+    model, prior = nb_train(docs.join(labels, "doc_id"))
+    return nb_score(docs, model, prior)
+
+
 def q_ts_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard manifest (r5): docs in epoch-shuffle order (seed 11)
     greedily cut into ~500-token output shards — whole-doc assignment,
@@ -1887,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_shuffle_order": q_ts_shuffle_order,
         "bpe_top_pairs": q_bpe_top_pairs,
         "ts_shard_manifest": q_ts_shard_manifest,
+        "cls_nb_quality": q_cls_nb_quality,
     }
 
 
@@ -3370,6 +3387,51 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE n_tok > 0
           )
         """,
+        # Naive Bayes train+score unrolled: counting, ROUND(6) weights,
+        # decimal-exact per-doc sums — the same recipe that oracle-ized
+        # pagerank and the k-means trainer
+        "cls_nb_quality": f"""
+          WITH kf AS ({{keep}}),
+          lab AS (
+            SELECT d.doc_id, d.text, kf.keep
+            FROM documents d JOIN kf ON kf.doc_id = d.doc_id
+          ),
+          tok AS (
+            SELECT doc_id, keep,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS token
+            FROM lab
+          ),
+          cnt AS (
+            SELECT token,
+                   SUM(CASE WHEN keep = 1 THEN 1 ELSE 0 END) AS n_pos,
+                   SUM(CASE WHEN keep = 0 THEN 1 ELSE 0 END) AS n_neg
+            FROM tok GROUP BY token
+          ),
+          tot AS (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn, COUNT(*) AS v FROM cnt),
+          model AS (
+            SELECT token,
+              ROUND(ln((n_pos + 0.5) / (tp + 0.5 * v))
+                    - ln((n_neg + 0.5) / (tn + 0.5 * v)), 6) AS w
+            FROM cnt CROSS JOIN tot
+          ),
+          prior AS (
+            SELECT ROUND(ln((SUM(keep) + 0.5)
+                          / (COUNT(*) - SUM(keep) + 0.5)), 6) AS p
+            FROM kf
+          ),
+          s AS (
+            SELECT t.doc_id, SUM(CAST(COALESCE(m.w, 0.0) AS DECIMAL(28, 6))) AS sm
+            FROM tok t LEFT JOIN model m ON m.token = t.token
+            GROUP BY t.doc_id
+          )
+          SELECT d.doc_id,
+            ROUND(p + CAST(COALESCE(sm, 0) AS DOUBLE), 6) AS score,
+            (p + CAST(COALESCE(sm, 0) AS DOUBLE)) > 0 AS pred
+          FROM (SELECT doc_id FROM documents) d
+          LEFT JOIN s ON s.doc_id = d.doc_id
+          CROSS JOIN prior
+        """.replace("{keep}", _KEEP_SQL),
     }
 
 

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "ts_shuffle_order",
     "bpe_top_pairs",
     "ts_shard_manifest",
+    "cls_nb_quality",
 ]
 
 
