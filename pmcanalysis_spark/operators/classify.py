@@ -50,6 +50,8 @@ def nb_train(
     Pass the label INLINE on the doc row (e.g. keep_filter output joined
     once, or a seed-set flag) — training then needs no per-token label
     join."""
+    from pyspark.storagelevel import StorageLevel
+
     pos = F.when(F.col(label_col).cast("int") == 1, F.lit(1)).otherwise(F.lit(0))
     tok = _tokens(
         labeled_docs.select(id_col, text_col, label_col), id_col, text_col, outer=False
@@ -58,6 +60,10 @@ def nb_train(
         F.sum(pos).alias("n_pos"),
         F.sum(1 - pos).alias("n_neg"),
     )
+    # the totals row and the model both read cnt; without a persist the
+    # whole corpus-scan+explode+agg subtree executes TWICE (Catalyst does
+    # not CSE across the crossJoin) — same recipe as the CC edge projection
+    cnt = cnt.persist(StorageLevel.MEMORY_AND_DISK)
     tot = cnt.select(
         F.sum("n_pos").alias("tp"),
         F.sum("n_neg").alias("tn"),

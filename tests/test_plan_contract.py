@@ -273,3 +273,20 @@ def test_shuffle_order_no_single_partition_exchange(spark):
     plan = _plan(out)
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_nb_train_counts_scan_once(spark):
+    """The token-count stage feeds both the model and the 1-row totals;
+    it must be persisted so the corpus scan runs ONCE (InMemoryTableScan
+    in the plan), and the totals reach the model as a broadcast."""
+    from pmcanalysis_spark.operators.classify import nb_score, nb_train
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 9} alpha beta gamma", i % 2) for i in range(40)],
+        "doc_id long, text string, keep int",
+    )
+    model, prior = nb_train(docs)
+    plan = _plan(nb_score(docs.select("doc_id", "text"), model, prior))
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
