@@ -1667,6 +1667,17 @@ def q_kg_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return highlight_snippets(_docs(spark, sf_dir), _lex_df(spark), width=30)
 
 
+def q_ts_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (r5): α=0.5 sampling weights over
+    per-source token mass, 10k-token target — the mT5/XLM-R mixing rule.
+    Every float on the rate path is cross-engine exact (IEEE sqrt,
+    decimal weight total, one double mul/div chain), so the oracle
+    replays the keep decision bucket-for-bucket."""
+    from pmcanalysis_spark.operators.textstats import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), target_tokens=10_000, alpha=0.5)
+
+
 def q_ts_keep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4/Gopher-style keep/drop endgame (r4): all cleaning rules in
     one narrow zero-shuffle select, reasons recorded per doc."""
@@ -1904,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_top_pairs": q_bpe_top_pairs,
         "ts_shard_manifest": q_ts_shard_manifest,
         "cls_nb_quality": q_cls_nb_quality,
+        "ts_temperature_mix": q_ts_temperature_mix,
     }
 
 
@@ -3432,6 +3444,41 @@ def oracle_sql() -> dict[str, str]:
           LEFT JOIN s ON s.doc_id = d.doc_id
           CROSS JOIN prior
         """.replace("{keep}", _KEEP_SQL),
+        # Temperature mixing: the whole rate path is cross-engine exact —
+        # integer token sums, IEEE sqrt ROUND(9), DECIMAL(28,9) weight
+        # total, one double mul/div chain ROUND(6) — so the oracle replays
+        # the md5-bucket keep decision verbatim.
+        "ts_temperature_mix": """
+          WITH b AS (
+            SELECT doc_id, source,
+              len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+              CAST(concat('0x', substr(md5(concat('23', '|',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bucket
+            FROM documents
+          ),
+          tot AS (
+            SELECT source, SUM(n_tokens) AS src_tokens FROM b
+            GROUP BY source HAVING SUM(n_tokens) > 0
+          ),
+          w AS (
+            SELECT source, src_tokens,
+                   ROUND(sqrt(CAST(src_tokens AS DOUBLE)), 9) AS w
+            FROM tot
+          ),
+          ws AS (
+            SELECT CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE) AS wsum FROM w
+          ),
+          r AS (
+            SELECT source,
+              ROUND(LEAST(1.0,
+                w * CAST(10000 AS DOUBLE)
+                  / (CAST(src_tokens AS DOUBLE) * ws.wsum)), 6) AS rate
+            FROM w CROSS JOIN ws
+          )
+          SELECT b.doc_id, b.source, b.n_tokens, r.rate
+          FROM b JOIN r USING (source)
+          WHERE b.bucket < CAST(ROUND(r.rate * 1000000, 0) AS BIGINT)
+        """,
     }
 
 

@@ -679,6 +679,89 @@ def token_budget_sample(
     )
 
 
+def temperature_mix(
+    docs: DataFrame,
+    target_tokens: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 23,
+) -> DataFrame:
+    """Temperature-based source mixing — the α-sampling rule of
+    multilingual / multi-source LLM training mixes (mT5/XLM-R style):
+    a source with T_s tokens gets weight w_s = T_s^α / Σ_t T_t^α, so its
+    token share of a ``target_tokens`` mix is w_s·target and its document
+    keep-rate is rate_s = min(1, w_s·target / T_s). α < 1 upsamples the
+    tail sources relative to proportional sampling (α=1) without the hard
+    cliff of a per-source cap (``token_budget_sample``). Rows kept:
+    (doc_id, source, n_tokens, rate).
+
+    The keep decision reuses ``stratified_sample``'s pure-function rule —
+    md5 bucket of the doc id under ``seed`` < rate·1e6 — so the selection
+    is reproducible across engines and partitionings. Every float on the
+    path is cross-engine exact: T_s is an integer SUM; T_s^0.5 is IEEE
+    sqrt (correctly rounded in both engines — the reason α defaults to
+    0.5; arbitrary α goes through pow(), whose last ulp is libm-specific,
+    fine for production, not for a value-hash oracle) rounded to 9; the
+    weight total is a DECIMAL(28,9) sum (order-independent); the rate is
+    one double mul/div chain (IEEE-deterministic) rounded to 6.
+
+    Plan shape at 100 TB: one scan → per-source token totals (map-side
+    partial agg on the low-cardinality source key), a sources-sized rate
+    table broadcast back, one narrow filter. No wide shuffle anywhere —
+    the only exchange carries |sources| rows.
+    """
+    from .dedup import portable_hash64
+
+    n_tok = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        n_tok.alias("n_tokens"),
+        F.pmod(
+            portable_hash64(F.col(id_col).cast("string"), seed), F.lit(1_000_000)
+        ).alias("_bucket"),
+    )
+    totals = (
+        base.groupBy("source")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+        .filter(F.col("src_tokens") > 0)
+    )
+    if alpha == 0.5:
+        w_expr = F.sqrt(F.col("src_tokens").cast("double"))
+    elif alpha == 1.0:
+        w_expr = F.col("src_tokens").cast("double")
+    else:
+        w_expr = F.pow(F.col("src_tokens").cast("double"), F.lit(float(alpha)))
+    weights = totals.select(
+        "source", "src_tokens", F.round(w_expr, 9).alias("w")
+    )
+    wsum = weights.agg(
+        F.sum(F.col("w").cast("decimal(28,9)")).cast("double").alias("wsum")
+    )
+    rates = weights.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("w")
+                * F.lit(float(target_tokens))
+                / (F.col("src_tokens").cast("double") * F.col("wsum")),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    return (
+        base.join(F.broadcast(rates), "source")
+        .filter(
+            F.col("_bucket")
+            < F.round(F.col("rate") * 1_000_000, 0).cast("long")
+        )
+        .select("doc_id", "source", "n_tokens", "rate")
+    )
+
+
 def length_quantiles(
     docs: DataFrame,
     probs: tuple = (0.25, 0.5, 0.9, 0.99),

@@ -410,3 +410,46 @@ def test_shard_manifest_greedy_whole_doc(spark):
              for r in shard_manifest(docs.repartition(7), tokens_per_shard=40,
                                      seed=5, partitions=3).collect()}
     assert again == got
+
+
+def test_temperature_mix_python_replica(spark):
+    """The whole α-sampling chain — per-source token mass, sqrt weights,
+    rates, md5 keep rule — recomputed in straight Python; row sets must
+    match exactly. Also pins the semantics: α=1 gives proportional rates
+    (all equal when target < total), rates never exceed 1, and a bigger α
+    narrows the tail-vs-head rate gap."""
+    import hashlib
+    import math
+
+    from pmcanalysis_spark.operators.textstats import temperature_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = temperature_mix(docs, target_tokens=3_000, alpha=0.5, seed=23)
+    got = {(r.doc_id, r.source, r.n_tokens, r.rate) for r in out.collect()}
+
+    rows = [
+        (r.doc_id, r.source, len([t for t in r.text.split(" ") if t]))
+        for r in docs.select("doc_id", "source", "text").collect()
+    ]
+    totals: dict[str, int] = {}
+    for _, s, n in rows:
+        totals[s] = totals.get(s, 0) + n
+    w = {s: round(math.sqrt(float(t)), 9) for s, t in totals.items() if t > 0}
+    wsum = float(sum(w.values()))  # 9-dp values: float sum is exact enough
+    rate = {
+        s: round(min(1.0, w[s] * 3000.0 / (float(totals[s]) * wsum)), 6)
+        for s in w
+    }
+    exp = set()
+    for doc_id, s, n in rows:
+        b = int(hashlib.md5(f"23|{doc_id}".encode()).hexdigest()[:15], 16) % 1_000_000
+        if s in rate and b < int(round(rate[s] * 1_000_000)):
+            exp.add((doc_id, s, n, rate[s]))
+    assert got == exp and len(got) > 0
+    assert all(r <= 1.0 for r in rate.values())
+
+    # α=1 is proportional sampling: every source gets the same rate
+    prop = {r.source: r.rate for r in
+            temperature_mix(docs, target_tokens=3_000, alpha=1.0, seed=23)
+            .select("source", "rate").distinct().collect()}
+    assert len(set(prop.values())) == 1
