@@ -1678,6 +1678,18 @@ def q_ts_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(_docs(spark, sf_dir), target_tokens=10_000, alpha=0.5)
 
 
+def q_ts_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram perplexity signal (r5): mean -ln(0.7·p2 +
+    0.3·p1) per document over the corpus's own add-0.5-smoothed bigram /
+    unigram counts — the word-order-aware upgrade of ts_unigram_logppl.
+    All probability arithmetic is forced double on both sides (the SQL
+    literal 0.5 is DECIMAL in DuckDB; the oracle casts), nll terms
+    ROUND(9), per-doc mean through the DECIMAL(28,9) sum recipe."""
+    from pmcanalysis_spark.operators.textstats import bigram_logppl
+
+    return bigram_logppl(_docs(spark, sf_dir), alpha=0.5, lam=0.7)
+
+
 def q_ts_keep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4/Gopher-style keep/drop endgame (r4): all cleaning rules in
     one narrow zero-shuffle select, reasons recorded per doc."""
@@ -1916,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_shard_manifest": q_ts_shard_manifest,
         "cls_nb_quality": q_cls_nb_quality,
         "ts_temperature_mix": q_ts_temperature_mix,
+        "ts_bigram_logppl": q_ts_bigram_logppl,
     }
 
 
@@ -3478,6 +3491,59 @@ def oracle_sql() -> dict[str, str]:
           SELECT b.doc_id, b.source, b.n_tokens, r.rate
           FROM b JOIN r USING (source)
           WHERE b.bucket < CAST(ROUND(r.rate * 1000000, 0) AS BIGINT)
+        """,
+        # Interpolated-bigram perplexity: every probability is forced
+        # DOUBLE (DuckDB's bare 0.5/0.7 literals are DECIMAL — decimal
+        # division would round differently); (1 - 0.7) is computed in
+        # binary64 on both sides so the backoff weight's last ulp matches.
+        "ts_bigram_logppl": """
+          WITH b2 AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS arr
+            FROM documents
+            WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+          ),
+          toks AS (
+            SELECT doc_id, i - 1 AS pos, arr[i] AS token
+            FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i
+                  FROM b2)
+          ),
+          uni AS (SELECT token, COUNT(*) AS n1 FROM toks GROUP BY token),
+          tot AS (SELECT SUM(n1) AS total, COUNT(*) AS vocab FROM uni),
+          p1 AS (
+            SELECT token,
+              (CAST(n1 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(total AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(vocab AS DOUBLE)) AS p1
+            FROM uni CROSS JOIN tot
+          ),
+          pairs AS (
+            SELECT doc_id, arr[i] AS v, arr[i + 1] AS w
+            FROM (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i
+                  FROM b2)
+          ),
+          big AS (SELECT v, w, COUNT(*) AS n2 FROM pairs GROUP BY v, w),
+          ctx AS (SELECT v, SUM(n2) AS nc FROM big GROUP BY v),
+          p2 AS (
+            SELECT big.v, big.w,
+              (CAST(n2 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(nc AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(vocab AS DOUBLE)) AS p2
+            FROM big JOIN ctx USING (v) CROSS JOIN tot
+          ),
+          nll AS (
+            SELECT doc_id, ROUND(-ln(p1.p1), 9) AS nll
+            FROM toks JOIN p1 USING (token) WHERE pos = 0
+            UNION ALL
+            SELECT pairs.doc_id,
+              ROUND(-ln(CAST(0.7 AS DOUBLE) * p2.p2
+                        + (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * p1.p1), 9) AS nll
+            FROM pairs
+            JOIN p2 ON p2.v = pairs.v AND p2.w = pairs.w
+            JOIN p1 ON p1.token = pairs.w
+          )
+          SELECT doc_id, COUNT(*) AS n_tokens,
+            ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+              AS logppl
+          FROM nll GROUP BY doc_id
         """,
     }
 

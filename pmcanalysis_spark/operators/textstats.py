@@ -633,6 +633,104 @@ def unigram_logppl(
     )
 
 
+def bigram_logppl(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated-bigram perplexity quality signal — the CCNet-style
+    filter one order up from ``unigram_logppl``: per document, the mean
+    negative log of p(w_i | w_{i-1}) = λ·p2 + (1−λ)·p1, where p2 is the
+    add-α bigram model (context counts over observed adjacencies,
+    smoothed over the unigram vocabulary) and p1 the add-α unigram model
+    (the first token of every doc backs off to p1 alone). Catches the
+    word-soup failure mode unigram ppl cannot: a document of common words
+    in implausible ORDER scores high here and low there.
+
+    Output (doc_id, n_tokens, logppl), deterministic — both "models" are
+    the corpus's own counts, no trained artifact. Plan: bigram pairs are
+    built ARRAY-side (transform over the token array — narrow, no
+    self-join on position), counted with map-side partial aggs on the
+    (v,w) key; probability tables are vocabulary-/bigram-vocabulary-sized
+    and join back on the same well-distributed token keys as every
+    shingle join; per-doc mean via the DECIMAL(28,9) sum recipe. At
+    100 TB the bigram table is the one sized artifact (≈|V|² worst case,
+    in practice Heaps-law sublinear); it joins on its own key and never
+    sits in driver memory.
+    """
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), arr.alias("arr")).filter(
+        F.size("arr") > 0
+    )
+    toks = base.select("doc_id", F.posexplode("arr").alias("pos", "token"))
+    uni = toks.groupBy("token").agg(F.count("*").alias("n1"))
+    tot = uni.agg(F.sum("n1").alias("total"), F.count("*").alias("vocab"))
+    p1 = uni.crossJoin(F.broadcast(tot)).select(
+        "token",
+        (
+            (F.col("n1") + F.lit(alpha))
+            / (F.col("total") + F.lit(alpha) * F.col("vocab"))
+        ).alias("p1"),
+    )
+    pairs = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.slice(F.col("arr"), 1, F.size("arr") - 1),
+                lambda v, i: F.struct(
+                    v.alias("v"), F.col("arr")[i + 1].alias("w")
+                ),
+            )
+        ).alias("pos", "pr"),
+    ).select("doc_id", "pos", F.col("pr.v").alias("v"), F.col("pr.w").alias("w"))
+    big = pairs.groupBy("v", "w").agg(F.count("*").alias("n2"))
+    ctx = big.groupBy("v").agg(F.sum("n2").alias("nc"))
+    p2 = (
+        big.join(ctx, "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "w",
+            (
+                (F.col("n2") + F.lit(alpha))
+                / (F.col("nc") + F.lit(alpha) * F.col("vocab"))
+            ).alias("p2"),
+        )
+    )
+    first_nll = (
+        toks.filter(F.col("pos") == 0)
+        .join(p1, "token")
+        .select("doc_id", F.round(-F.log(F.col("p1")), 9).alias("nll"))
+    )
+    rest_nll = (
+        pairs.join(p2, ["v", "w"])
+        .join(p1.withColumnRenamed("token", "w"), "w")
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    F.lit(lam) * F.col("p2") + F.lit(1.0 - lam) * F.col("p1")
+                ),
+                9,
+            ).alias("nll"),
+        )
+    )
+    return (
+        first_nll.unionByName(rest_nll)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("nll").cast("decimal(28,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("logppl"),
+        )
+    )
+
+
 def token_budget_sample(
     docs: DataFrame,
     budget_tokens: int,

@@ -453,3 +453,53 @@ def test_temperature_mix_python_replica(spark):
             temperature_mix(docs, target_tokens=3_000, alpha=1.0, seed=23)
             .select("source", "rate").distinct().collect()}
     assert len(set(prop.values())) == 1
+
+
+def test_bigram_logppl_reference_and_order_sensitivity(spark):
+    """Straight-Python replica of the interpolated-bigram formula on a tiny
+    corpus, plus the property that motivates the operator: a document with
+    the same BAG of words in implausible order (identical unigram ppl)
+    scores strictly higher bigram logppl."""
+    import math
+
+    from pmcanalysis_spark.operators.textstats import (
+        bigram_logppl,
+        unigram_logppl,
+    )
+
+    texts = {
+        1: "the cat sat",
+        2: "the cat sat",
+        3: "the cat sat",
+        4: "sat cat the",  # same bag, reversed order
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.logppl) for r in bigram_logppl(df).collect()}
+
+    # python replica
+    docs = {k: v.split() for k, v in texts.items()}
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    for t in docs.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for v, w in zip(t, t[1:]):
+            big[(v, w)] = big.get((v, w), 0) + 1
+    total, V = sum(uni.values()), len(uni)
+    ctx: dict[str, int] = {}
+    for (v, _), n in big.items():
+        ctx[v] = ctx.get(v, 0) + n
+    p1 = {w: (n + 0.5) / (total + 0.5 * V) for w, n in uni.items()}
+    for k, t in docs.items():
+        terms = [round(-math.log(p1[t[0]]), 9)]
+        for v, w in zip(t, t[1:]):
+            p2 = (big.get((v, w), 0) + 0.5) / (ctx[v] + 0.5 * V)
+            terms.append(round(-math.log(0.7 * p2 + (1.0 - 0.7) * p1[w]), 9))
+        assert got[k][0] == len(t)
+        assert abs(got[k][1] - round(sum(terms) / len(terms), 6)) < 1e-9, k
+
+    # order sensitivity: reversed doc ranks worse under bigram ppl …
+    assert got[4][1] > got[1][1]
+    # … yet identically under unigram ppl
+    u = {r.doc_id: r.logppl for r in unigram_logppl(df).collect()}
+    assert u[4] == u[1]
