@@ -1690,6 +1690,32 @@ def q_ts_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logppl(_docs(spark, sf_dir), alpha=0.5, lam=0.7)
 
 
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (r5, arXiv:1102.3828): 64-dim
+    vectors → 8 subspace codes against the deterministic vec_id<16
+    codebooks (same seed-rows trick as the IVF quantizer), then top-10
+    per query (vec_id<3) by asymmetric distance — the memory-compression
+    scale path of web-scale ANN. Distances ROUND(6) tie-to-lowest-code at
+    encode, in-engine ROUND(9) LUT terms + DECIMAL(28,9) item sums at
+    search, so the whole index+scan replays value-exactly in SQL."""
+    from pmcanalysis_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_vectors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    cbs = pq_codebooks_from_vectors(seeds, m=8)
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return pq_adc_topk(emb, cbs, queries, k=10)
+
+
 def q_ts_keep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4/Gopher-style keep/drop endgame (r4): all cleaning rules in
     one narrow zero-shuffle select, reasons recorded per doc."""
@@ -1929,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cls_nb_quality": q_cls_nb_quality,
         "ts_temperature_mix": q_ts_temperature_mix,
         "ts_bigram_logppl": q_ts_bigram_logppl,
+        "sim_pq_adc": q_sim_pq_adc,
     }
 
 
@@ -3544,6 +3571,57 @@ def oracle_sql() -> dict[str, str]:
             ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
               AS logppl
           FROM nll GROUP BY doc_id
+        """,
+        # PQ-ADC unrolled: codebooks reconstructed from the vec_id<16 rows
+        # by pure list slicing; encode argmin under ROUND(6)+lowest-code;
+        # LUT terms as the same left-to-right diff-dot fold Spark computes
+        # (list_dot_product), item sums DECIMAL(28,9) — value-exact replay
+        # of the full index-build + scan.
+        "sim_pq_adc": """
+          WITH cw AS (
+            SELECT s.s AS s, e.vec_id AS code,
+                   e.embedding[s.s * 8 + 1 : s.s * 8 + 8] AS cvec
+            FROM embeddings e, generate_series(0, 7) s(s)
+            WHERE e.vec_id < 16
+          ),
+          sub AS (
+            SELECT e.vec_id AS item_id, s.s AS s,
+                   e.embedding[s.s * 8 + 1 : s.s * 8 + 8] AS svec
+            FROM embeddings e, generate_series(0, 7) s(s)
+          ),
+          dist AS (
+            SELECT item_id, sub.s, code,
+              ROUND(list_dot_product(
+                list_transform(range(1, 9), i -> CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)),
+                list_transform(range(1, 9), i -> CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))), 6) AS d2
+            FROM sub JOIN cw ON cw.s = sub.s
+          ),
+          codes AS (
+            SELECT item_id, s, code FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY item_id, s
+                                           ORDER BY d2, code) AS rn
+              FROM dist
+            ) WHERE rn = 1
+          ),
+          lut AS (
+            SELECT q.vec_id AS query_id, cw.s, cw.code,
+              ROUND(list_dot_product(
+                list_transform(range(1, 9), i -> CAST(q.embedding[cw.s * 8 + i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)),
+                list_transform(range(1, 9), i -> CAST(q.embedding[cw.s * 8 + i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))), 9) AS term
+            FROM embeddings q CROSS JOIN cw
+            WHERE q.vec_id < 3
+          ),
+          score AS (
+            SELECT query_id, item_id,
+              ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS adist
+            FROM codes JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+            GROUP BY query_id, item_id
+          )
+          SELECT query_id, item_id, adist, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adist, item_id) AS rank
+            FROM score
+          ) WHERE rank <= 10
         """,
     }
 

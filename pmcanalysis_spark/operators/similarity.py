@@ -656,3 +656,201 @@ def train_centroids(
             for cell, comps in sorted(by_cell.items())
         ]
     return cents
+
+
+def pq_codebooks_from_vectors(
+    vectors: list[list[float]], m: int
+) -> list[list[tuple[int, list[float]]]]:
+    """Split ``k`` seed vectors into ``m`` per-subspace codebooks:
+    codeword ``c`` of subspace ``s`` is vector ``c``'s s-th dim/m slice.
+    Pure list slicing — no float arithmetic, so Spark and any SQL oracle
+    reconstruct the identical codebooks from the same rows. (Production
+    would train each subspace with k-means — ``train_centroids`` per
+    slice; the index structure and search math are identical.)"""
+    if not vectors:
+        return []
+    dim = len(vectors[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    return [
+        [
+            (code, [float(x) for x in vec[s * d_sub : (s + 1) * d_sub]])
+            for code, vec in enumerate(vectors)
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "numpy",
+) -> DataFrame:
+    """Product-quantization encode: each vector becomes ``m`` small codes,
+    code ``s`` = the argmin-L2 codeword of subspace ``s`` (FAISS's PQ /
+    IVFADC building block, arXiv:1102.3828). (id, codes array<long>).
+
+    THE memory lever for web-scale ANN: a 64-dim float vector (256 B+)
+    compresses to m=8 one-byte codes, so a 10^12-vector index fits a
+    cluster's RAM and the ADC scan (``pq_adc_topk``) never touches raw
+    vectors again. Encode itself is one narrow pass, no shuffle in the
+    numpy impl.
+
+    Cross-engine determinism: distances are ROUND(6) then ties break to
+    the LOWEST code id, in both impls and the SQL oracle — same recipe as
+    ``ivf_assign``. impl='numpy': ONE mapInPandas, a (batch × k) matmul
+    per subspace with the codebook matrix closed over. impl='sql': items
+    explode to (id, s, subvec), equi-join the m·k-row codeword table on
+    the subspace key, JVM-side fold distance, per-(id,s) argmin window —
+    every shuffle AQE-manageable; kept as the parity twin (tested
+    row-identical)."""
+    m = len(codebooks)
+    if not m:
+        raise ValueError("empty codebooks")
+    d_sub = len(codebooks[0][0][1])
+    books = [sorted(((int(c), [float(x) for x in v]) for c, v in cb)) for cb in codebooks]
+
+    if impl == "numpy":
+        import numpy as np
+        import pandas as pd
+
+        def encode(batches):
+            Cs = [np.asarray([v for _, v in cb], dtype="float64") for cb in books]
+            ids_per_s = [np.asarray([c for c, _ in cb], dtype="int64") for cb in books]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.vstack(pdf["vec"].to_numpy())
+                codes = np.empty((len(pdf), m), dtype="int64")
+                for s in range(m):
+                    Vs = V[:, s * d_sub : (s + 1) * d_sub]
+                    C = Cs[s]
+                    d2 = (
+                        (Vs * Vs).sum(axis=1, keepdims=True)
+                        - 2.0 * (Vs @ C.T)
+                        + (C * C).sum(axis=1)
+                    )
+                    # ROUND(6)+lowest-code tie-break, same rule as the oracle
+                    d2 = np.round(d2, 6)
+                    codes[:, s] = ids_per_s[s][np.argmin(d2, axis=1)]
+                yield pd.DataFrame(
+                    {"id": pdf["id"].to_numpy(dtype="int64"), "codes": list(codes)}
+                )
+
+        v = embeddings.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        return v.mapInPandas(encode, "id long, codes array<long>")
+
+    spark = embeddings.sparkSession
+    cw = spark.createDataFrame(
+        [(s, c, v) for s, cb in enumerate(books) for c, v in cb],
+        "s int, code long, cvec array<double>",
+    )
+    sub = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(
+                    F.col(vec_col).cast("array<double>"), s * d_sub + 1, d_sub
+                ),
+            )
+        ).alias("s", "svec"),
+    )
+    dist = sub.join(F.broadcast(cw), "s").select(
+        "id",
+        "s",
+        "code",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("svec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("id", "s").orderBy("d2", "code")
+    best = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("s", "code"))), lambda x: x["code"]
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "numpy",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, the m·k
+    lookup table term[s][code] = ||q_s − codeword||² is computed ONCE,
+    and every item's approximate distance is a table-gather sum over its
+    codes — no per-item float vector math, which is why a PQ scan is
+    memory- (not FLOP-) bound and sustains 10^12 items. Output
+    (query_id, item_id, adist, rank) with rank by ascending ROUND(adist,6),
+    ties to the lower item id.
+
+    Every float on the result path is cross-engine exact: LUT terms are
+    computed IN-ENGINE (a left-to-right fold over the q/codeword diff,
+    ROUND(9) — the same fold DuckDB's list_dot_product replays), the
+    per-item sum of m terms is an order-independent DECIMAL(28,9) agg,
+    and the final adist is ROUND(6). Plan: encode (narrow) → explode to
+    (item, s, code) → broadcast-join the q·m·k-row LUT → groupBy item
+    (map-side partials on the unique item key) → per-query top-k window.
+    """
+    spark = embeddings.sparkSession
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    books = [sorted(((int(c), [float(x) for x in v]) for c, v in cb)) for cb in codebooks]
+    lut_base = spark.createDataFrame(
+        [
+            (int(qid), s, c, [float(x) for x in qvec[s * d_sub : (s + 1) * d_sub]], cv)
+            for qid, qvec in queries
+            for s, cb in enumerate(books)
+            for c, cv in cb
+        ],
+        "query_id long, s int, code long, qsvec array<double>, cvec array<double>",
+    )
+    lut = lut_base.select(
+        "query_id",
+        "s",
+        "code",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("qsvec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ).alias("term"),
+    )
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col, impl=impl)
+    exploded = codes.select(
+        F.col("id").alias("item_id"), F.posexplode("codes").alias("s", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("query_id", "item_id")
+        .agg(
+            F.round(
+                F.sum(F.col("term").cast("decimal(28,9)")).cast("double"), 6
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "item_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "adist", "rank")
+    )
