@@ -1716,6 +1716,28 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, cbs, queries, k=10)
 
 
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (r5, FAISS IVF-PQ, arXiv:1102.3828 §IV): vec_id<8 cells
+    (the sim_ivf quantizer), residual PQ against the vec_id<16 codebooks,
+    nprobe=2 of 8 cells per query (vec_id<3), top-10 by asymmetric
+    distance — routing + compression + ADC composed, the trillion-vector
+    index shape, replayed value-exactly in SQL."""
+    from pmcanalysis_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks_from_vectors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    }
+    cents = [(i, rows[i]) for i in range(8)]
+    cbs = pq_codebooks_from_vectors([rows[i] for i in range(16)], m=8)
+    queries = [(i, rows[i]) for i in range(3)]
+    return ivfpq_topk(emb, cents, cbs, queries, k=10, nprobe=2)
+
+
 def q_ts_keep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4/Gopher-style keep/drop endgame (r4): all cleaning rules in
     one narrow zero-shuffle select, reasons recorded per doc."""
@@ -1956,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_temperature_mix": q_ts_temperature_mix,
         "ts_bigram_logppl": q_ts_bigram_logppl,
         "sim_pq_adc": q_sim_pq_adc,
+        "sim_ivfpq": q_sim_ivfpq,
     }
 
 
@@ -3616,6 +3639,83 @@ def oracle_sql() -> dict[str, str]:
               ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS adist
             FROM codes JOIN lut ON lut.s = codes.s AND lut.code = codes.code
             GROUP BY query_id, item_id
+          )
+          SELECT query_id, item_id, adist, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adist, item_id) AS rank
+            FROM score
+          ) WHERE rank <= 10
+        """,
+        # IVFADC unrolled: assignment = the semdedup oracle's raw-cosine
+        # ROW_NUMBER rule; residuals are exact IEEE subtractions; encode
+        # and LUT reuse the sim_pq_adc recipes over the residual space.
+        "sim_ivfpq": """
+          WITH base AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+          ),
+          c AS (SELECT vec_id AS cell, vec AS centv FROM base WHERE vec_id < 8),
+          assign AS (
+            SELECT vec_id, vec, cell FROM (
+              SELECT b.vec_id, b.vec, c.cell,
+                ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                  ORDER BY list_dot_product(b.vec, c.centv)
+                        / (sqrt(list_dot_product(b.vec, b.vec))
+                           * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+                    c.cell ASC) AS rn
+              FROM base b CROSS JOIN c
+            ) WHERE rn = 1
+          ),
+          res AS (
+            SELECT a.vec_id AS item_id, a.cell,
+                   list_transform(range(1, 65), i -> a.vec[i] - c.centv[i]) AS rvec
+            FROM assign a JOIN c USING (cell)
+          ),
+          cw AS (
+            SELECT s.s AS s, b.vec_id AS code,
+                   list_transform(range(1, 9), i -> b.vec[s.s * 8 + i]) AS cvec
+            FROM base b, generate_series(0, 7) s(s)
+            WHERE b.vec_id < 16
+          ),
+          dist AS (
+            SELECT item_id, res.cell, cw.s, cw.code,
+              ROUND(list_dot_product(
+                list_transform(range(1, 9), i -> rvec[cw.s * 8 + i] - cvec[i]),
+                list_transform(range(1, 9), i -> rvec[cw.s * 8 + i] - cvec[i])), 6) AS d2
+            FROM res CROSS JOIN cw
+          ),
+          codes AS (
+            SELECT item_id, cell, s, code FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY item_id, s
+                                           ORDER BY d2, code) AS rn
+              FROM dist
+            ) WHERE rn = 1
+          ),
+          probe AS (
+            SELECT query_id, cell, vec FROM (
+              SELECT q.vec_id AS query_id, c.cell, q.vec,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_dot_product(q.vec, c.centv)
+                        / (sqrt(list_dot_product(q.vec, q.vec))
+                           * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+                    c.cell ASC) AS pr
+              FROM (SELECT * FROM base WHERE vec_id < 3) q CROSS JOIN c
+            ) WHERE pr <= 2
+          ),
+          lut AS (
+            SELECT p.query_id, p.cell, cw.s, cw.code,
+              ROUND(list_dot_product(
+                list_transform(range(1, 9), i -> (p.vec[cw.s * 8 + i] - c.centv[cw.s * 8 + i]) - cvec[i]),
+                list_transform(range(1, 9), i -> (p.vec[cw.s * 8 + i] - c.centv[cw.s * 8 + i]) - cvec[i])), 9) AS term
+            FROM probe p JOIN c USING (cell) CROSS JOIN cw
+          ),
+          score AS (
+            SELECT l.query_id, k.item_id,
+              ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS adist
+            FROM codes k
+            JOIN lut l ON l.cell = k.cell AND l.s = k.s AND l.code = k.code
+            GROUP BY l.query_id, k.item_id
           )
           SELECT query_id, item_id, adist, rank FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "bpe_top_pairs",
     "ts_shard_manifest",
     "cls_nb_quality",
+    "ts_temperature_mix",
+    "ts_bigram_logppl",
+    "sim_pq_adc",
+    "sim_ivfpq",
 ]
 
 

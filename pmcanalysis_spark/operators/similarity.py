@@ -688,6 +688,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "numpy",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Product-quantization encode: each vector becomes ``m`` small codes,
     code ``s`` = the argmin-L2 codeword of subspace ``s`` (FAISS's PQ /
@@ -706,13 +707,17 @@ def pq_encode(
     explode to (id, s, subvec), equi-join the m·k-row codeword table on
     the subspace key, JVM-side fold distance, per-(id,s) argmin window —
     every shuffle AQE-manageable; kept as the parity twin (tested
-    row-identical)."""
+    row-identical). ``carry_cols`` pass through unchanged (e.g. the IVF
+    cell id in ``ivfpq_topk``) — through the UDF batch in the numpy impl,
+    through the groupBy key in the sql impl — so composing with a routing
+    stage costs no extra join."""
     m = len(codebooks)
     if not m:
         raise ValueError("empty codebooks")
     d_sub = len(codebooks[0][0][1])
     books = [sorted(((int(c), [float(x) for x in v]) for c, v in cb)) for cb in codebooks]
 
+    carry = list(carry_cols)
     if impl == "numpy":
         import numpy as np
         import pandas as pd
@@ -736,15 +741,26 @@ def pq_encode(
                     # ROUND(6)+lowest-code tie-break, same rule as the oracle
                     d2 = np.round(d2, 6)
                     codes[:, s] = ids_per_s[s][np.argmin(d2, axis=1)]
-                yield pd.DataFrame(
-                    {"id": pdf["id"].to_numpy(dtype="int64"), "codes": list(codes)}
-                )
+                out = {"id": pdf["id"].to_numpy(dtype="int64"), "codes": list(codes)}
+                for c in carry:
+                    out[c] = pdf[c]
+                yield pd.DataFrame(out)
 
         v = embeddings.select(
             F.col(id_col).cast("long").alias("id"),
             F.col(vec_col).cast("array<double>").alias("vec"),
+            *[F.col(c) for c in carry],
         )
-        return v.mapInPandas(encode, "id long, codes array<long>")
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("id", LongType()),
+                StructField("codes", ArrayType(LongType())),
+            ]
+            + [v.schema[c] for c in carry]
+        )
+        return v.mapInPandas(encode, schema)
 
     spark = embeddings.sparkSession
     cw = spark.createDataFrame(
@@ -753,6 +769,7 @@ def pq_encode(
     )
     sub = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
+        *[F.col(c) for c in carry],
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
@@ -764,6 +781,7 @@ def pq_encode(
     )
     dist = sub.join(F.broadcast(cw), "s").select(
         "id",
+        *carry,
         "s",
         "code",
         F.round(
@@ -777,7 +795,7 @@ def pq_encode(
     )
     w = Window.partitionBy("id", "s").orderBy("d2", "code")
     best = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return best.groupBy("id").agg(
+    return best.groupBy("id", *carry).agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("s", "code"))), lambda x: x["code"]
         ).alias("codes")
@@ -841,6 +859,122 @@ def pq_adc_topk(
     )
     scored = (
         exploded.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("query_id", "item_id")
+        .agg(
+            F.round(
+                F.sum(F.col("term").cast("decimal(28,9)")).cast("double"), 6
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "item_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "adist", "rank")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "numpy",
+) -> DataFrame:
+    """IVFADC — the canonical trillion-vector ANN design (FAISS IVF-PQ,
+    arXiv:1102.3828 §IV): vectors route to an IVF cell, their RESIDUAL
+    (vec − centroid) is PQ-encoded, and a query scans only its ``nprobe``
+    nearest cells with a per-(query, cell) residual lookup table. Output
+    (query_id, item_id, adist, rank), rank by ascending ROUND(adist, 6),
+    ties to the lower item id.
+
+    Why this is the 100 TB shape: the index holds m bytes + a cell id per
+    vector (no raw floats), a query touches ~nprobe/n_cells of the data,
+    and both index passes are narrow (assignment and encode fuse into one
+    scan — the cell id rides through ``pq_encode(carry_cols=('cell',))``,
+    no post-encode join). The only wide exchange is the per-item ADC sum
+    on the unique item key.
+
+    Cross-engine determinism mirrors the component operators: cell choice
+    = raw-cosine argmax, first/lowest-cell wins (``ivf_assign``'s rule,
+    replayed by the oracle's ROW_NUMBER); residual subtraction is exact
+    IEEE on identical operands; encode argmin under ROUND(6)+lowest-code;
+    LUT terms in-engine ROUND(9); item sums DECIMAL(28,9) then ROUND(6).
+    Query routing (cosine to each centroid, top-``nprobe``) runs
+    driver-side with the same left-to-right fold the SQL replays.
+    """
+    spark = embeddings.sparkSession
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    cents = sorted(((int(c), [float(x) for x in v]) for c, v in centroids))
+
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col, impl=impl)
+    cent_df = spark.createDataFrame(cents, "cell long, centv array<double>")
+    residuals = assigned.join(F.broadcast(cent_df), "cell").select(
+        "id",
+        "cell",
+        F.zip_with(F.col("vec"), F.col("centv"), lambda a, b: a - b).alias("rvec"),
+    )
+    codes = pq_encode(
+        residuals, codebooks, id_col="id", vec_col="rvec", impl=impl,
+        carry_cols=("cell",),
+    )
+
+    def _fold_dot(xs: list[float]) -> float:
+        acc = 0.0
+        for x in xs:
+            acc += x * x
+        return acc
+
+    def _cos(q: list[float], c: list[float]) -> float:
+        num = 0.0
+        for a, b in zip(q, c):
+            num += a * b
+        return num / ((_fold_dot(q) ** 0.5) * (_fold_dot(c) ** 0.5))
+
+    books = [sorted(((int(c), [float(x) for x in v]) for c, v in cb)) for cb in codebooks]
+    lut_rows = []
+    for qid, qvec in queries:
+        qv = [float(x) for x in qvec]
+        ranked = sorted(
+            ((-_cos(qv, cv), cell) for cell, cv in cents)
+        )[:nprobe]
+        for _, cell in ranked:
+            centv = dict(cents)[cell]
+            qres = [a - b for a, b in zip(qv, centv)]
+            for s, cb in enumerate(books):
+                for code, cv in cb:
+                    lut_rows.append(
+                        (int(qid), int(cell), s, code,
+                         qres[s * d_sub : (s + 1) * d_sub], cv)
+                    )
+    lut = spark.createDataFrame(
+        lut_rows,
+        "query_id long, cell long, s int, code long, "
+        "qsvec array<double>, cvec array<double>",
+    ).select(
+        "query_id",
+        "cell",
+        "s",
+        "code",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("qsvec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ).alias("term"),
+    )
+    exploded = codes.select(
+        F.col("id").alias("item_id"), "cell", F.posexplode("codes").alias("s", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["cell", "s", "code"])
         .groupBy("query_id", "item_id")
         .agg(
             F.round(

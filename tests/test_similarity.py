@@ -436,3 +436,52 @@ def test_pq_adc_recall_vs_exact(spark):
     # knob, orthogonal to the index/search semantics under test)
     assert sum(recalls) / len(recalls) >= 0.2
     assert all(by_q[qid][0] == qid for qid, _ in queries)
+
+
+def test_ivfpq_impls_agree_and_probe_semantics(spark):
+    """IVFADC: numpy and sql impls row-identical; a query only sees items
+    from its nprobe probed cells (the routing contract); with nprobe =
+    n_cells the scan covers every item, and results stay identical across
+    partitioning."""
+    from pmcanalysis_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_topk,
+        pq_codebooks_from_vectors,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.collect()}
+    cents = [(i, vecs[i]) for i in range(8)]
+    cbs = pq_codebooks_from_vectors([vecs[i] for i in range(16)], m=8)
+    queries = [(i, vecs[i]) for i in (0, 1, 2)]
+
+    a = ivfpq_topk(emb, cents, cbs, queries, k=10, nprobe=2, impl="numpy")
+    b = ivfpq_topk(emb, cents, cbs, queries, k=10, nprobe=2, impl="sql")
+    ra = sorted((r.query_id, r.item_id, r.adist, r.rank) for r in a.collect())
+    rb = sorted((r.query_id, r.item_id, r.adist, r.rank) for r in b.collect())
+    assert ra == rb and len(ra) == 30
+
+    # routing contract: returned items belong to the query's 2 best cells
+    cell_of = {
+        int(r["id"]): int(r["cell"])
+        for r in ivf_assign(emb, cents).select("id", "cell").collect()
+    }
+    def cos(q, c):
+        num = sum(x * y for x, y in zip(q, c))
+        return num / (sum(x * x for x in q) ** 0.5 * sum(x * x for x in c) ** 0.5)
+    for qid, qv in queries:
+        probed = {cell for _, cell in sorted(((-cos(qv, cv), cell) for cell, cv in cents))[:2]}
+        items = [r.item_id for r in ra_rows(ra, qid)]
+        assert all(cell_of[i] in probed for i in items)
+
+    # full-probe run covers all cells; repartitioned input changes nothing
+    full = ivfpq_topk(emb, cents, cbs, queries, k=10, nprobe=8)
+    full2 = ivfpq_topk(emb.repartition(7), cents, cbs, queries, k=10, nprobe=8)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, full2.collect()))
+
+
+def ra_rows(rows, qid):
+    class R:  # tiny row shim for the helper above
+        def __init__(self, t):
+            self.query_id, self.item_id, self.adist, self.rank = t
+    return [R(t) for t in rows if t[0] == qid]
