@@ -290,3 +290,39 @@ def test_nb_train_counts_scan_once(spark):
     assert "InMemoryTableScan" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_temperature_mix_broadcasts_rates_no_wide_shuffle(spark):
+    """temperature_mix's only exchange may carry |sources| rows (the token
+    totals); the doc-side join must be broadcast, never sort-merge, and
+    nothing in the plan may be a cartesian product."""
+    from pmcanalysis_spark.operators.textstats import temperature_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(temperature_mix(docs, target_tokens=5_000))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pq_adc_broadcasts_lut_and_partial_aggregates(spark):
+    """The ADC scan must broadcast the q·m·k-row LUT (never shuffle the
+    exploded item codes against it with a sort-merge join) and the
+    per-item sum must partial-aggregate map-side."""
+    from pmcanalysis_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_vectors,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    ]
+    cbs = pq_codebooks_from_vectors(seeds, m=8)
+    q = [(0, seeds[0])]
+    plan = _plan(pq_adc_topk(emb, cbs, q, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan  # map-side combine on the decimal item sum
