@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the TRAINING-DATA pipeline: the LLM-corpus
+counterpart of run_pipeline.py (reference analog: the MakeTrainingSet
+intent — assemble a clean, deduplicated, decontaminated, mixed and sharded
+training set from a raw document table).
+
+    documents(doc_id, text, lang, source)
+      → keep_filter        (C4/Gopher keep decisions, reasons recorded)
+      → exact_dedup        (md5 clusters, canonical-id survivors)
+      → neardup clusters   (optional: MinHash-LSH → confirm → CC)
+      → decontaminate      (optional: n-gram overlap vs an eval corpus)
+      → temperature_mix    (α-sampling to a token target across sources)
+      → shuffle_order      (deterministic global epoch order)
+      → shard_manifest     (whole-doc greedy shards a writer materializes)
+
+Every stage checkpoints through lineage.materialize_stage (per-partition
+lineage rows, rename-last commit): re-running with identical inputs
+resumes from the committed snapshots — kill the job at any stage and it
+picks up where it stopped, the north_rule resume contract.
+
+Usage (cluster):
+    zip -r pmcanalysis_spark.zip pmcanalysis_spark
+    spark-submit --py-files pmcanalysis_spark.zip scripts/run_datapipe.py \
+        --input <documents parquet> --output <stage dir> \
+        [--eval <benchmark parquet>] [--neardup] \
+        [--target-tokens N] [--alpha 0.5] [--tokens-per-shard N] [--seed 11]
+
+Local smoke: --input /root/testdata/sf0.001/documents.parquet --cores 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet (doc_id, text, lang, source)")
+    ap.add_argument("--output", required=True, help="stage/checkpoint base dir")
+    ap.add_argument("--eval", default=None,
+                    help="benchmark/eval parquet (doc_id, text); training docs "
+                         "sharing any --contam-n-gram window are dropped")
+    ap.add_argument("--contam-n", type=int, default=8)
+    ap.add_argument("--neardup", action="store_true",
+                    help="also collapse MinHash-LSH near-duplicate clusters "
+                         "(keep the lowest doc_id per cluster)")
+    ap.add_argument("--neardup-threshold", type=float, default=0.8)
+    ap.add_argument("--target-tokens", type=int, default=None,
+                    help="temperature-mix token target (default: skip mixing)")
+    ap.add_argument("--alpha", type=float, default=0.5)
+    ap.add_argument("--tokens-per-shard", type=int, default=100_000)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.lineage import materialize_stage
+    from pmcanalysis_spark.operators.dedup import (
+        decontaminate,
+        exact_dedup,
+        neardup_text_clusters,
+    )
+    from pmcanalysis_spark.operators.textstats import (
+        keep_filter,
+        shard_manifest,
+        shuffle_order,
+        temperature_mix,
+    )
+    from pmcanalysis_spark.session import get_spark
+
+    spark = get_spark(app_name="datapipe", cores=args.cores)
+    t0 = time.perf_counter()
+    summary: dict[str, dict] = {}
+
+    def record(name, res, df):
+        summary[name] = {
+            "rows": res.row_count,
+            "resumed": res.resumed,
+            "wall_ms": res.wall_ms,
+        }
+        return df
+
+    docs = spark.read.parquet(args.input)
+    fp_base = f"input={args.input}|seed={args.seed}"
+
+    # 1. keep/drop gate (reasons recorded — the auditable cleaning decision)
+    keep, res = materialize_stage(
+        keep_filter(docs, min_tokens=args.min_tokens),
+        "keep", args.output, "doc_id",
+        input_fingerprint_extra=fp_base + f"|min_tokens={args.min_tokens}",
+    )
+    record("keep", res, keep)
+    kept = docs.join(keep.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
+
+    # 2. exact dedup — survivors are each cluster's canonical (min) id
+    clusters, res = materialize_stage(
+        exact_dedup(kept),
+        "exact_dedup", args.output, "canonical_id",
+        input_fingerprint_extra=fp_base,
+    )
+    record("exact_dedup", res, clusters)
+    surv = kept.withColumn("_h", F.md5("text")).join(
+        clusters.select(F.col("text_hash").alias("_h"), "canonical_id"), "_h"
+    ).filter(F.col("doc_id") == F.col("canonical_id")).drop("_h", "canonical_id")
+
+    # 3. optional near-dup collapse (lowest id per confirmed cluster wins)
+    if args.neardup:
+        nd, res = materialize_stage(
+            neardup_text_clusters(surv, threshold=args.neardup_threshold),
+            "neardup", args.output, "doc_id",
+            input_fingerprint_extra=fp_base + f"|thr={args.neardup_threshold}",
+        )
+        record("neardup", res, nd)
+        surv = surv.join(
+            nd.filter(F.col("doc_id") != F.col("cluster")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+
+    # 4. optional decontamination against the eval corpus
+    if args.eval:
+        ev = spark.read.parquet(args.eval)
+        flags, res = materialize_stage(
+            decontaminate(surv, ev, n=args.contam_n),
+            "decontam", args.output, "doc_id",
+            input_fingerprint_extra=fp_base + f"|eval={args.eval}|n={args.contam_n}",
+        )
+        record("decontam", res, flags)
+        surv = surv.join(
+            flags.filter(F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+
+    # 5. optional temperature mixing toward the token target
+    if args.target_tokens:
+        mix, res = materialize_stage(
+            temperature_mix(
+                surv, target_tokens=args.target_tokens, alpha=args.alpha,
+                seed=args.seed,
+            ),
+            "mix", args.output, "doc_id",
+            input_fingerprint_extra=fp_base
+            + f"|target={args.target_tokens}|alpha={args.alpha}",
+        )
+        record("mix", res, mix)
+        surv = surv.join(mix.select("doc_id"), "doc_id")
+
+    # 6+7. deterministic epoch order → whole-doc greedy shard layout
+    order, res = materialize_stage(
+        shuffle_order(surv, seed=args.seed),
+        "order", args.output, "doc_id",
+        input_fingerprint_extra=fp_base,
+    )
+    record("order", res, order)
+    shards, res = materialize_stage(
+        shard_manifest(surv, tokens_per_shard=args.tokens_per_shard, seed=args.seed),
+        "shards", args.output, "doc_id",
+        input_fingerprint_extra=fp_base + f"|tps={args.tokens_per_shard}",
+    )
+    record("shards", res, shards)
+
+    n_shards = shards.agg(F.countDistinct("shard_id")).first()[0] or 0
+    n_tokens = shards.agg(F.sum("n_tok")).first()[0] or 0
+    out = {
+        "stages": summary,
+        "final_docs": summary["shards"]["rows"],
+        "final_tokens": int(n_tokens),
+        "n_shards": int(n_shards),
+        "wall_s": round(time.perf_counter() - t0, 3),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
