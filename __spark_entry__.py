@@ -1738,6 +1738,16 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, cents, cbs, queries, k=10, nprobe=2)
 
 
+def q_ts_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (r5): md5 bucket vs cumulative
+    thresholds (test 5% / train 90% / val 5% in sorted-name order), a
+    pure function of (seed, doc_id) — stable under corpus growth, which
+    is what leakage audits depend on. Zero-shuffle narrow select."""
+    from pmcanalysis_spark.operators.textstats import dataset_split
+
+    return dataset_split(_docs(spark, sf_dir), seed=31)
+
+
 def q_ts_keep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4/Gopher-style keep/drop endgame (r4): all cleaning rules in
     one narrow zero-shuffle select, reasons recorded per doc."""
@@ -1979,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_bigram_logppl": q_ts_bigram_logppl,
         "sim_pq_adc": q_sim_pq_adc,
         "sim_ivfpq": q_sim_ivfpq,
+        "ts_dataset_split": q_ts_dataset_split,
     }
 
 
@@ -3645,6 +3656,21 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY adist, item_id) AS rank
             FROM score
           ) WHERE rank <= 10
+        """,
+        # split thresholds in sorted-name order: test 50000, train 950000,
+        # val 1000000 (cumulative) — the oracle replays the CASE chain
+        "ts_dataset_split": """
+          SELECT doc_id,
+            CASE WHEN bucket < 50000 THEN 'test'
+                 WHEN bucket < 950000 THEN 'train'
+                 ELSE 'val' END AS split,
+            bucket
+          FROM (
+            SELECT doc_id,
+              CAST(concat('0x', substr(md5(concat('31', '|',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bucket
+            FROM documents
+          )
         """,
         # IVFADC unrolled: assignment = the semdedup oracle's raw-cosine
         # ROW_NUMBER rule; residuals are exact IEEE subtractions; encode

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "ts_bigram_logppl",
     "sim_pq_adc",
     "sim_ivfpq",
+    "ts_dataset_split",
 ]
 
 

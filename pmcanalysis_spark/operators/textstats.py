@@ -860,6 +860,49 @@ def temperature_mix(
     )
 
 
+def dataset_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 31,
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: (doc_id, split,
+    bucket). A document's split is a pure function of (seed, id) — the
+    md5 bucket against CUMULATIVE integer thresholds — so the partition
+    is stable across runs, engines, repartitionings and corpus growth
+    (a doc keeps its split when neighbors are added/removed, unlike any
+    count-based or RNG split; the property leakage audits depend on).
+    Splits are assigned in sorted-name order of ``weights`` (default
+    test 5% / train 90% / val 5%), thresholds = round(cum·1e6).
+
+    Narrow: zero shuffles, zero joins — one hash + a CASE chain; the
+    100 TB cost is the scan itself."""
+    from .dedup import portable_hash64
+
+    ws = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = sorted(ws)
+    cum, bounds = 0.0, []
+    for n in names:
+        cum += float(ws[n])
+        bounds.append((n, int(round(cum * 1_000_000))))
+    if abs(cum - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {cum}")
+    bucket = F.pmod(
+        portable_hash64(F.col(id_col).cast("string"), seed), F.lit(1_000_000)
+    )
+    expr = None
+    for n, b in bounds:
+        cond = bucket < F.lit(b)
+        expr = F.when(cond, F.lit(n)) if expr is None else expr.when(cond, F.lit(n))
+    # bucket == 999999 with float-rounded bounds: last named split wins
+    expr = expr.otherwise(F.lit(bounds[-1][0]))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        expr.alias("split"),
+        bucket.alias("bucket"),
+    )
+
+
 def length_quantiles(
     docs: DataFrame,
     probs: tuple = (0.25, 0.5, 0.9, 0.99),

@@ -503,3 +503,32 @@ def test_bigram_logppl_reference_and_order_sensitivity(spark):
     # … yet identically under unigram ppl
     u = {r.doc_id: r.logppl for r in unigram_logppl(df).collect()}
     assert u[4] == u[1]
+
+
+def test_dataset_split_stable_and_partitioned(spark):
+    """The split is a pure function of (seed, doc_id): stable under corpus
+    growth (subset rows keep their split), exhaustive + disjoint, rough
+    proportions honored, and a bad weight sum raises."""
+    import pytest
+
+    from pmcanalysis_spark.operators.textstats import dataset_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    full = {r.doc_id: r.split for r in dataset_split(docs, seed=31).collect()}
+    half = {
+        r.doc_id: r.split
+        for r in dataset_split(docs.filter("doc_id % 2 = 0"), seed=31).collect()
+    }
+    assert half == {k: v for k, v in full.items() if k % 2 == 0}
+
+    assert set(full.values()) <= {"train", "val", "test"}
+    n = len(full)
+    frac_train = sum(1 for v in full.values() if v == "train") / n
+    assert 0.8 < frac_train < 0.97  # 90% nominal, 500-doc sample noise
+
+    with pytest.raises(ValueError):
+        dataset_split(docs, weights={"a": 0.5, "b": 0.2}).collect()
+
+    # a different seed reshuffles membership
+    other = {r.doc_id: r.split for r in dataset_split(docs, seed=32).collect()}
+    assert other != full
