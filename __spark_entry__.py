@@ -1284,6 +1284,46 @@ def _kmeans_means_sql(assign_cte: str, dim: int = 64) -> str:
     """
 
 
+def _pq_assign_sql(cw_cte: str, d_sub: int = 8) -> str:
+    """DuckDB CTE body assigning every (item, subspace) row of ``sub`` to
+    its argmin-L2 codeword from ``cw_cte`` (s, code, cvec) — the exact
+    ``pq_encode`` rule (distances ROUND(6), ties to the lowest code).
+    Carries svec so the Lloyd's means CTE needs no re-join."""
+    return f"""
+            SELECT item_id, s, code, svec FROM (
+              SELECT sub.item_id, sub.s, c.code, sub.svec,
+                ROW_NUMBER() OVER (
+                  PARTITION BY sub.item_id, sub.s
+                  ORDER BY ROUND(list_dot_product(
+                      list_transform(range(1, {d_sub + 1}), i -> sub.svec[i] - c.cvec[i]),
+                      list_transform(range(1, {d_sub + 1}), i -> sub.svec[i] - c.cvec[i])), 6) ASC,
+                    c.code ASC
+                ) AS rn
+              FROM sub JOIN {cw_cte} c ON c.s = sub.s
+            ) WHERE rn = 1
+    """
+
+
+def _pq_means_sql(assign_cte: str, prev_cw_cte: str, d_sub: int = 8) -> str:
+    """DuckDB CTE body for the per-subspace Lloyd's update: elementwise
+    mean as an order-independent DECIMAL(28,12) sum divided in DOUBLE —
+    the exact arithmetic ``train_pq_codebooks`` runs. A codeword with no
+    assigned vectors KEEPS its previous value (PQ codes index fixed-size
+    codebooks; dropping would renumber every encoded item)."""
+    return f"""
+            SELECT p.s, p.code, COALESCE(mm.mvec, p.cvec) AS cvec
+            FROM {prev_cw_cte} p LEFT JOIN (
+              SELECT s, code, list(m ORDER BY pos) AS mvec FROM (
+                SELECT s, code, g.pos AS pos,
+                       CAST(SUM(CAST(svec[g.pos] AS DECIMAL(28, 12))) AS DOUBLE)
+                         / COUNT(*) AS m
+                FROM {assign_cte} CROSS JOIN generate_series(1, {d_sub}) AS g(pos)
+                GROUP BY s, code, g.pos
+              ) GROUP BY s, code
+            ) mm ON mm.s = p.s AND mm.code = p.code
+    """
+
+
 def _link_lex_values() -> str:
     return ", ".join(f"('{n}', '{t}')" for n, t in LINK_LEX)
 
@@ -1738,6 +1778,34 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, cents, cbs, queries, k=10, nprobe=2)
 
 
+def q_sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ over TRAINED codebooks (r5): two distributed per-subspace
+    Lloyd's iterations from the vec_id<16 seed slices (assignment = the
+    same ROUND(6)-tie-lowest ``pq_encode`` used at index time; means =
+    DECIMAL(28,12) sums — order-independent, so the oracle replays the
+    exact codebooks by unrolling the iterations), then the same ADC
+    top-10 scan as sim_pq_adc. Completes the trained-index family:
+    sim_ivf_trained trains the router, this trains the compressor."""
+    from pmcanalysis_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_vectors,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    init = pq_codebooks_from_vectors(seeds, m=8)
+    cbs = train_pq_codebooks(emb, init, n_iter=2, impl="numpy")
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return pq_adc_topk(emb, cbs, queries, k=10)
+
+
 def q_ts_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (r5): md5 bucket vs cumulative
     thresholds (test 5% / train 90% / val 5% in sorted-name order), a
@@ -1989,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_bigram_logppl": q_ts_bigram_logppl,
         "sim_pq_adc": q_sim_pq_adc,
         "sim_ivfpq": q_sim_ivfpq,
+        "sim_pq_trained": q_sim_pq_trained,
         "ts_dataset_split": q_ts_dataset_split,
     }
 
@@ -3671,6 +3740,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bucket
             FROM documents
           )
+        """,
+        # trained-PQ unrolled: seed books are the vec_id<16 slices; two
+        # Lloyd's iterations (assign = pq_encode's ROUND(6)-tie-lowest rule,
+        # means = DECIMAL(28,12) keep-old-on-empty), then the sim_pq_adc
+        # LUT + ADC tail over the trained books.
+        "sim_pq_trained": f"""
+          WITH sub AS (
+            SELECT e.vec_id AS item_id, s.s AS s,
+                   list_transform(e.embedding[s.s * 8 + 1 : s.s * 8 + 8],
+                                  x -> CAST(x AS DOUBLE)) AS svec
+            FROM embeddings e, generate_series(0, 7) s(s)
+          ),
+          cw0 AS (
+            SELECT s, item_id AS code, svec AS cvec FROM sub WHERE item_id < 16
+          ),
+          a0 AS ({_pq_assign_sql("cw0")}),
+          cw1 AS ({_pq_means_sql("a0", "cw0")}),
+          a1 AS ({_pq_assign_sql("cw1")}),
+          cw2 AS ({_pq_means_sql("a1", "cw1")}),
+          codes AS ({_pq_assign_sql("cw2")}),
+          lut AS (
+            SELECT qs.item_id AS query_id, c.s, c.code,
+              ROUND(list_dot_product(
+                list_transform(range(1, 9), i -> qs.svec[i] - c.cvec[i]),
+                list_transform(range(1, 9), i -> qs.svec[i] - c.cvec[i])), 9) AS term
+            FROM (SELECT * FROM sub WHERE item_id < 3) qs
+            JOIN cw2 c ON c.s = qs.s
+          ),
+          score AS (
+            SELECT lut.query_id, k.item_id,
+              ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS adist
+            FROM codes k JOIN lut ON lut.s = k.s AND lut.code = k.code
+            GROUP BY lut.query_id, k.item_id
+          )
+          SELECT query_id, item_id, adist, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adist, item_id) AS rank
+            FROM score
+          ) WHERE rank <= 10
         """,
         # IVFADC unrolled: assignment = the semdedup oracle's raw-cosine
         # ROW_NUMBER rule; residuals are exact IEEE subtractions; encode

@@ -682,6 +682,96 @@ def pq_codebooks_from_vectors(
     ]
 
 
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    init: list[list[tuple[int, list[float]]]],
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "numpy",
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace Lloyd's k-means for the PQ codebooks (arXiv:1102.3828
+    §III trains each subquantizer independently) — the training half that
+    turns ``pq_codebooks_from_vectors``'s seed slices into codebooks that
+    actually minimize subspace distortion, the same upgrade
+    ``train_centroids`` gives the IVF coarse quantizer.
+
+    Scale shape per iteration: ONE ``pq_encode`` assignment pass (the
+    mapInPandas batch-matmul used at index time, distances ROUND(6) ties
+    to the lowest code — so train-time and index-time assignment are the
+    same function), carrying the raw vector through the batch; then
+    posexplode to component grain and groupBy(s, code, pos) — a uniform
+    BOUNDED key space (m·k·d_sub = k·dim groups total) with map-side
+    partial aggregation, so the shuffle carries per-task partials, not
+    rows. The driver holds only the m × k × d_sub codebook tensor between
+    iterations (what search must broadcast anyway).
+
+    Codeword means are order-independent DECIMAL(28,12) sums divided in
+    DOUBLE — the repo's cross-engine float recipe — so training is
+    bit-reproducible under any partitioning/retry and the SQL oracle
+    (``sim_pq_trained``) replays the exact codebooks by unrolling the
+    iterations. Fixed ``n_iter`` (no float-coupled stopping rule) for the
+    same reason. A codeword that captures no vectors KEEPS its previous
+    value (unlike IVF's drop policy: PQ codes index fixed-size codebooks,
+    so dropping would renumber every encoded item; FAISS likewise keeps
+    and optionally reseeds).
+    """
+    if not init:
+        return []
+    m = len(init)
+    d_sub = len(init[0][0][1])
+    books = [
+        sorted(((int(c), [float(x) for x in v]) for c, v in cb)) for cb in init
+    ]
+    vec_d = f"__tpq_{vec_col}"
+    prepped = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(vec_col).cast("array<double>").alias(vec_d),
+    )
+    for _ in range(n_iter):
+        enc = pq_encode(
+            prepped, books, id_col, vec_col, impl=impl, carry_cols=(vec_d,)
+        )
+        comp = enc.select(
+            F.posexplode("codes").alias("s", "code"), F.col(vec_d).alias("vec")
+        ).select(
+            "s",
+            "code",
+            F.posexplode(
+                F.expr(f"slice(vec, s * {d_sub} + 1, {d_sub})")
+            ).alias("pos", "val"),
+        )
+        rows = (
+            comp.groupBy("s", "code", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            means.setdefault((int(r["s"]), int(r["code"])), {})[int(r["pos"])] = (
+                float(r["m"])
+            )
+        books = [
+            [
+                (
+                    code,
+                    [comps[p] for p in sorted(comps)]
+                    if (comps := means.get((s, code)))
+                    else old,
+                )
+                for code, old in cb
+            ]
+            for s, cb in enumerate(books)
+        ]
+    return books
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks: list[list[tuple[int, list[float]]]],

@@ -485,3 +485,52 @@ def ra_rows(rows, qid):
         def __init__(self, t):
             self.query_id, self.item_id, self.adist, self.rank = t
     return [R(t) for t in rows if t[0] == qid]
+
+
+def test_train_pq_codebooks(spark):
+    """Per-subspace Lloyd's trainer: numpy and sql assignment paths yield
+    identical books; training reduces subspace distortion on planted
+    clusters; a codeword that captures nothing keeps its previous value;
+    and the decimal-mean recipe makes the result partition-invariant."""
+    from pmcanalysis_spark.operators.similarity import (
+        pq_codebooks_from_vectors,
+        train_pq_codebooks,
+    )
+
+    # planted data: 3 clusters per 4-dim subspace, 4 subspaces (dim 16)
+    def vec(i):
+        base = [float((i % 3) * 10 + s) for s in range(4)]
+        jitter = [((i * 7 + p) % 5) * 0.1 for p in range(4)]
+        return [b + j for b, j in zip(base, jitter)] * 4
+
+    rows = [(i, vec(i)) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = pq_codebooks_from_vectors([vec(i) for i in range(4)], m=4)
+    # plant an unreachable codeword: nothing within 1e3 of it ever assigns
+    far = [1e6] * 4
+    init = [cb + [(len(cb), list(far))] for cb in init]
+
+    a = train_pq_codebooks(emb, init, n_iter=2, impl="numpy")
+    b = train_pq_codebooks(emb, init, n_iter=2, impl="sql")
+    assert a == b
+    assert len(a) == 4 and all(len(cb) == 5 for cb in a)
+    # empty codeword kept verbatim (never renumbered, never dropped)
+    assert all(cb[-1] == (4, far) for cb in a)
+
+    import numpy as np
+
+    V = np.asarray([v for _, v in rows])
+
+    def distortion(books):
+        tot = 0.0
+        for s, cb in enumerate(books):
+            C = np.asarray([cv for _, cv in cb])
+            Vs = V[:, s * 4 : (s + 1) * 4]
+            d2 = (Vs * Vs).sum(1, keepdims=True) - 2 * Vs @ C.T + (C * C).sum(1)
+            tot += d2.min(1).sum()
+        return tot
+
+    assert distortion(a) < distortion(init) * 0.5
+
+    c = train_pq_codebooks(emb.repartition(7), init, n_iter=2, impl="numpy")
+    assert c == a
