@@ -1806,6 +1806,28 @@ def q_sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, cbs, queries, k=10)
 
 
+def q_dd_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup (r5): docs with doc_id % 5 == 0 arrive as
+    the NEW batch; the rest were admitted earlier and exist only as
+    signature-store rows (band buckets + 60-bit shingle-hash sets — the
+    old text is never re-read). Emits confirmed Jaccard >= 0.5 pairs
+    touching at least one new doc. The oracle replays the store build,
+    the new-side banding join and the hash-set confirm verbatim."""
+    from pmcanalysis_spark.operators.dedup import (
+        neardup_incremental,
+        neardup_signature_store,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    store = neardup_signature_store(old, n=3, num_hashes=8, bands=4)
+    pairs, _ = neardup_incremental(
+        new, store, n=3, threshold=0.5, num_hashes=8, bands=4
+    )
+    return pairs.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_ts_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (r5): md5 bucket vs cumulative
     thresholds (test 5% / train 90% / val 5% in sorted-name order), a
@@ -2058,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_adc": q_sim_pq_adc,
         "sim_ivfpq": q_sim_ivfpq,
         "sim_pq_trained": q_sim_pq_trained,
+        "dd_incremental_neardup": q_dd_incremental_neardup,
         "ts_dataset_split": q_ts_dataset_split,
     }
 
@@ -2594,6 +2617,63 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        # incremental crawl dedup: banding identical to dd_minhash_lsh_pairs;
+        # the candidate join requires a NEW (doc_id % 5 = 0) side; confirm is
+        # exact Jaccard over the 60-bit h1 shingle-hash sets the store keeps
+        # (no hot-df filter — the confirm never self-joins the shingle table)
+        "dd_incremental_neardup": """
+          WITH sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+              SELECT doc_id,
+                array_to_string(toks[i : i + 2], ' ') AS shingle
+              FROM (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 2)) AS i
+                FROM documents
+              )
+              WHERE i + 2 <= len(toks)
+            )
+          ),
+          hashed AS (
+            SELECT doc_id,
+              CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+              CAST(concat('0x', substr(md5(shingle), 16, 15)) AS BIGINT) % (1::BIGINT << 57) AS h2
+            FROM sh
+          ),
+          dsh AS (SELECT DISTINCT doc_id, h1 FROM hashed),
+          sig AS (
+            SELECT doc_id, CAST(seed AS INT) AS hash_idx,
+                   MIN((h1 + seed * h2) % 2305843009213693951) AS mh
+            FROM hashed CROSS JOIN range(8) AS t(seed)
+            GROUP BY doc_id, seed
+          ),
+          banded AS (
+            SELECT doc_id, hash_idx // 2 AS band,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hash_idx) AS bucket
+            FROM sig GROUP BY doc_id, hash_idx // 2
+          ),
+          cand AS (
+            SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
+                            greatest(a.doc_id, b.doc_id) AS b_id
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+            WHERE a.doc_id % 5 = 0
+          ),
+          sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+          inter AS (
+            SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN dsh a ON a.doc_id = c.a_id
+            JOIN dsh b ON b.doc_id = c.b_id AND b.h1 = a.h1
+            GROUP BY 1, 2
+          )
+          SELECT a_id, b_id,
+                 ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
         """,
         "dd_simhash": _SIMHASH_SQL,
         # brute-force all-pairs scan — legitimate as an ORACLE because for

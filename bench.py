@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "sim_pq_adc",
     "sim_ivfpq",
     "ts_dataset_split",
+    "sim_pq_trained",
+    "dd_incremental_neardup",
 ]
 
 

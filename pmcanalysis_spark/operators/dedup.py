@@ -388,6 +388,141 @@ def neardup_text_clusters(
     )
 
 
+def neardup_signature_store(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc near-dup signature store row:
+    ``(doc_id, buckets array<string>[bands], sh array<bigint> sorted)`` —
+    everything incremental dedup needs to admit FUTURE batches without
+    ever touching this batch's text again. ``buckets[b]`` is the MinHash
+    LSH band key (identical to ``minhash_lsh_pairs`` banding); ``sh`` is
+    the doc's distinct shingle identity set under the 60-bit md5-prefix
+    hash the MinHash permutations already derive (h1) — the confirm space
+    of ``neardup_incremental``. Storing hashes, not shingle strings, caps
+    the store at 8 bytes/shingle regardless of n-gram width; h1 collisions
+    perturb a Jaccard by ~|A|·|B|/2^60 — vanishing, and the SQL oracle
+    replays the identical hash so the check is still value-exact.
+
+    This is the batch twin of the streaming confirm state
+    (``streaming/neardup_stream``): same bucket keys, same packed shingle
+    store, but laid out as a plain table you append per crawl. ONE corpus
+    scan, ONE groupBy(doc): minhash mins, the bucket keys, and the sorted
+    hash set all come out of the same aggregate.
+    """
+    assert num_hashes <= 16, "affine-family derivation sized for <= 16 hashes"
+    rows_per_band = num_hashes // bands
+    sh = shingles_df if shingles_df is not None else shingles(docs, id_col, text_col, n)
+    md5 = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    h2 = F.pmod(
+        F.conv(F.substring(md5, 16, 15), 16, 10).cast("long"),
+        F.lit(1 << 57).cast("long"),
+    )
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    mins = [
+        F.min(
+            F.pmod(
+                F.col("h1") + F.lit(i) * F.col("h2"),
+                F.lit(MERSENNE61).cast("long"),
+            )
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = hashed.groupBy("doc_id").agg(
+        *mins, F.sort_array(F.collect_set("h1")).alias("sh")
+    )
+    buckets = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    return agg.select("doc_id", buckets.alias("buckets"), "sh")
+
+
+def neardup_incremental(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental crawl dedup: near-dup the NEW batch against everything
+    ever admitted WITHOUT re-shingling the old corpus — the production
+    shape at 100 TB (admitting a 1 TB crawl must cost ∝ crawl + collisions,
+    never ∝ corpus; re-running ``neardup_text_scalable`` over old∪new
+    re-pays the full corpus scan + signature build every batch).
+
+    Returns ``(pairs, new_store_rows)``: pairs = (a_id, b_id, jaccard)
+    where at LEAST one side is new (new×old and new×new; old×old pairs
+    were already emitted when the old batch was admitted), a_id < b_id,
+    exact Jaccard >= threshold; new_store_rows = this batch's signature
+    rows — append them to the store (plain union / snapshot commit) to
+    admit the next batch.
+
+    Plan: ONE scan of the new batch builds its store rows
+    (``neardup_signature_store``); candidates are a band-bucket equi-join
+    of the new rows' buckets against (store ∪ new) buckets — work ∝
+    bucket collisions involving a new doc; confirm joins each candidate
+    pair back to the two stored hash sets by doc id and intersects
+    JVM-side (``array_intersect`` — O(|A|+|B|) per pair, per-row memory
+    bounded by the largest single doc). No hot-shingle df filter here:
+    the confirm never self-joins the shingle table (that filter exists to
+    bound df² explosion in the full-corpus confirm join), so a
+    boilerplate shingle costs candidates only what the banding already
+    admitted. Every shuffle key (band buckets, doc ids) is uniform.
+    """
+    new_store = neardup_signature_store(
+        new_docs, id_col, text_col, n, num_hashes, bands
+    )
+    all_store = store.unionByName(new_store)
+    new_b = new_store.select(
+        F.col("doc_id").alias("n_id"), F.posexplode("buckets").alias("band", "bucket")
+    )
+    all_b = all_store.select(
+        F.col("doc_id").alias("o_id"), F.posexplode("buckets").alias("band", "bucket")
+    )
+    cand = (
+        new_b.join(all_b, ["band", "bucket"])
+        .filter(F.col("n_id") != F.col("o_id"))
+        .select(
+            F.least("n_id", "o_id").alias("a_id"),
+            F.greatest("n_id", "o_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    a_side = all_store.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    b_side = all_store.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    pairs = (
+        cand.join(a_side, "a_id")
+        .join(b_side, "b_id")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+    return pairs, new_store
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

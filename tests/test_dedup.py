@@ -629,3 +629,58 @@ def test_semantic_dedup_chunked_identical(spark):
     # sanity: the dense cell really did drop someone, and id 0 survived
     kept0 = [v for v, c, k in base if c == 0 and k]
     assert 0 in kept0 and len(kept0) < 20
+
+
+def test_neardup_incremental_admits_batches(spark):
+    """Incremental dedup: batch 2 near-dups against the store built from
+    batches 0+1 without their text; pairs always touch a new doc (old×old
+    excluded — they were emitted at admission time); values equal a
+    python replica of the hash-set Jaccard; appending store rows admits
+    the next batch."""
+    from pmcanalysis_spark.operators.dedup import (
+        neardup_incremental,
+        neardup_signature_store,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, base),
+        (1, base + " extra tail"),               # near-dup of 0
+        (2, "completely different words " * 3),
+        (10, base),                              # new: dup of old 0 and 1
+        (11, "completely different words " * 3), # new: dup of old 2
+        (12, "utterly unrelated content nothing shared here at all ok"),
+        (13, base),                              # new: dup of old 0 AND new 10
+    ]
+    old = spark.createDataFrame([d for d in docs if d[0] < 10], "doc_id long, text string")
+    new = spark.createDataFrame([d for d in docs if d[0] >= 10], "doc_id long, text string")
+
+    store = neardup_signature_store(old, num_hashes=8, bands=4)
+    pairs, new_rows = neardup_incremental(new, store, threshold=0.5, num_hashes=8, bands=4)
+    got = {(r.a_id, r.b_id): round(r.jaccard, 6) for r in pairs.collect()}
+
+    assert all(a >= 10 or b >= 10 for a, b in got)          # touches a new doc
+    assert (0, 10) in got and got[(0, 10)] == 1.0           # new x old exact dup
+    assert (2, 11) in got and got[(2, 11)] == 1.0
+    assert (10, 13) in got and got[(10, 13)] == 1.0         # new x new
+    assert (0, 13) in got
+    assert not any(a < 10 and b < 10 for a, b in got)       # old x old never
+    assert all(12 not in p for p in got)                    # unrelated doc clean
+
+    # replica of the hash-set Jaccard for the (1, 10) near-pair
+    import hashlib
+    def hset(text):
+        toks = text.split(" ")
+        grams = {" ".join(toks[i:i + 3]) for i in range(max(len(toks) - 3, 0) + 1)
+                 if len(toks[i:i + 3]) == 3}
+        return {int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams}
+    a, b = hset(docs[1][1]), hset(docs[3][1])
+    exp = round(len(a & b) / len(a | b), 6)
+    assert got[(1, 10)] == exp
+
+    # admit the batch, then a later batch dups against a batch-2 doc
+    store2 = store.unionByName(new_rows)
+    b3 = spark.createDataFrame([(20, base)], "doc_id long, text string")
+    pairs3, _ = neardup_incremental(b3, store2, threshold=0.5, num_hashes=8, bands=4)
+    got3 = {(r.a_id, r.b_id) for r in pairs3.collect()}
+    assert (13, 20) in got3 and (0, 20) in got3
