@@ -326,3 +326,66 @@ def test_pq_adc_broadcasts_lut_and_partial_aggregates(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_" in plan  # map-side combine on the decimal item sum
+
+
+def test_incremental_neardup_never_cartesian_and_store_joins_on_ids(spark):
+    """Incremental dedup must stay collision-proportional: band-bucket
+    equi-join for candidates, doc-id equi-joins for the confirm — a
+    CartesianProduct/nested-loop anywhere means new×corpus went all-pairs.
+    The confirm must also be array_intersect over stored sets (no shingle
+    re-explode of the store side)."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.dedup import (
+        neardup_incremental,
+        neardup_signature_store,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store = neardup_signature_store(
+        docs.filter(F.col("doc_id") % 5 != 0), num_hashes=8, bands=4
+    )
+    pairs, _ = neardup_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0), store,
+        threshold=0.5, num_hashes=8, bands=4,
+    )
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" in plan
+
+
+def test_train_pq_codebooks_bounded_groups_partial_agg(spark):
+    """The PQ trainer's per-iteration mean must partial-aggregate on the
+    bounded (s, code, pos) key space — the shuffle carries per-task
+    partials, not component rows. Inspect the aggregate the trainer runs
+    (same shape it collects) for map-side partial_avg over the three
+    keys."""
+    from pyspark.sql import functions as F
+
+    from pmcanalysis_spark.operators.similarity import (
+        pq_codebooks_from_vectors, pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    ]
+    books = pq_codebooks_from_vectors(seeds, m=8)
+    prepped = emb.select(
+        "vec_id", "embedding",
+        F.col("embedding").cast("array<double>").alias("vec_d"),
+    )
+    enc = pq_encode(prepped, books, carry_cols=("vec_d",))
+    comp = enc.select(
+        F.posexplode("codes").alias("s", "code"), F.col("vec_d").alias("vec")
+    ).select(
+        "s", "code", F.posexplode(F.expr("slice(vec, s * 8 + 1, 8)")).alias("pos", "val")
+    )
+    agg = comp.groupBy("s", "code", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(28,12)")).cast("double") / F.count("*")).alias("m")
+    )
+    plan = _plan(agg)
+    assert "partial" in plan.lower()        # map-side combine before the exchange
+    assert plan.lower().count("exchange") <= 2  # one shuffle for the agg (+AQE read)
