@@ -1963,16 +1963,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver gates only the FIRST 50 registry entries, so gate membership
     # is a deliberate documented rotation (COVERAGE.md "Driver-gate rotation").
-    # r5 rotation (VERDICT r4 next-step #1): the 18 queries that had never
-    # earned a driver CORRECTNESS row (ts_pack_sequences .. dd_minhash_est,
-    # the four ev_* event-time ops) move INTO the top 50, plus the 2 NEW r5
-    # queries (dd_repeated_runs, dd_cut_runs). Displaced: 20 veterans with
-    # 3-4 green driver rounds each (kg_ closure/rollup/rank variants,
-    # ts_token_count/quality/lang_id/fingerprint/repetition, dd_exact_dedup/
-    # ngram_jaccard/minhash/simhash, join_anti_gold ...) — all remain in the
-    # registry and are exercised by the full-registry local oracle replica
-    # (tests/test_entry.py runs EVERY entry against DuckDB at two SFs).
-    return {
+    # Final r5 gate = _R5_GATE below: ALL 37 queries that have never earned a
+    # driver CORRECTNESS row (the 18 from VERDICT r4 next-step #1, plus every
+    # r5-new query including the late additions) + 13 kept veterans (flagship
+    # trio, CC, the r4 first-rounders on their 2nd round, the dedup/ANN scale
+    # heads). Displaced veterans all carry 3-4 green driver rounds and remain
+    # exercised by the full-registry local oracle replica (tests/test_entry.py
+    # runs EVERY entry against DuckDB; CI runs it at two SFs).
+    base = {
         # -- core KG family (kept in-gate: flagship + closure + serving) --
         "kg_mentions_docfreq": q_kg_mentions_docfreq,
         "kg_corpus_size": q_kg_corpus_size,
@@ -2083,6 +2081,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_incremental_neardup": q_dd_incremental_neardup,
         "ts_dataset_split": q_ts_dataset_split,
     }
+    gated = {k: base[k] for k in _R5_GATE}
+    assert len(gated) == 50
+    return {**gated, **{k: v for k, v in base.items() if k not in gated}}
+
+
+# The 50 driver-gated entries for r5 (order = gate membership; see the
+# rotation rationale in queries() and COVERAGE.md "Driver-gate rotation").
+_R5_GATE = [
+    # kept veterans (13): flagship trio + CC + r4 first-rounders (2nd round)
+    # + the dedup/ANN scale heads
+    "kg_mentions_docfreq",
+    "kg_pair_counts",
+    "kg_triples_scored",
+    "kg_connected_components",
+    "ev_topk_users",
+    "ts_pii_redact",
+    "ts_vocab_encode",
+    "mm_metadata",
+    "mm_image_features",
+    "mm_audio_features",
+    "mm_video_frames",
+    "dd_text_neardup_scalable",
+    "dd_embedding_neardup_scalable",
+    # first driver round: the 18 from VERDICT r4 #1
+    "ts_pack_sequences",
+    "ts_stratified_sample",
+    "dd_url_dedup",
+    "link_bm25",
+    "kg_degree",
+    "kg_triangles",
+    "dd_repeated_spans",
+    "dd_span_dup_stats",
+    "ts_keep_filter",
+    "ts_source_stats",
+    "ts_unigram_logppl",
+    "dd_simhash_pairs",
+    "ev_sessionize",
+    "ev_asof_prior",
+    "ev_range_join",
+    "ev_rollup_multigrain",
+    "ts_token_budget",
+    "dd_minhash_est",
+    # first driver round: every r5-new query
+    "dd_repeated_runs",
+    "dd_cut_runs",
+    "kg_snippets",
+    "ts_length_quantiles",
+    "sim_ivf_trained",
+    "kg_pagerank2",
+    "dd_decontaminate",
+    "dd_semdedup",
+    "ts_shuffle_order",
+    "bpe_top_pairs",
+    "ts_shard_manifest",
+    "cls_nb_quality",
+    "ts_temperature_mix",
+    "ts_bigram_logppl",
+    "sim_pq_adc",
+    "sim_ivfpq",
+    "sim_pq_trained",
+    "dd_incremental_neardup",
+    "ts_dataset_split",
+]
 
 
 def oracle_sql() -> dict[str, str]:
