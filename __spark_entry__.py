@@ -1828,6 +1828,49 @@ def q_dd_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest round-trip (r5): documents are packed 10-per-chunk into
+    real ISO 28500 archives (odd chunks record-per-gzip-member — the
+    Common Crawl layout), then `parse_warc_records` recovers every record
+    via the one-crossing mapInPandas parser. The oracle recomputes URI,
+    date, HTTP block length and body md5 from the construction rule alone
+    — the parse must be byte-faithful for the hashes to meet."""
+    from pmcanalysis_spark.sources.warc import build_warc_record, parse_warc_records
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    chunked = docs.withColumn("chunk_id", (F.col("doc_id") / 10).cast("long"))
+
+    def build(key, pdf):
+        import pandas as pd
+
+        cid = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        blob = b"".join(
+            build_warc_record(
+                f"https://example.org/doc/{int(r.doc_id)}",
+                f"2024-01-01T00:00:{int(r.doc_id) % 60:02d}Z",
+                str(r.text).encode(),
+                gzip_member=(cid % 2 == 1),
+            )
+            for r in pdf.itertuples()
+        )
+        return pd.DataFrame({"chunk_id": [cid], "payload": [blob]})
+
+    chunks = chunked.groupBy("chunk_id").applyInPandas(
+        build, "chunk_id long, payload binary"
+    )
+    recs = parse_warc_records(chunks)
+    return recs.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        "rec_idx",
+        "target_uri",
+        "warc_date",
+        "http_status",
+        "content_length",
+        F.md5("body").alias("body_md5"),
+    )
+
+
 def q_ts_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (r5): md5 bucket vs cumulative
     thresholds (test 5% / train 90% / val 5% in sorted-name order), a
@@ -2080,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_trained": q_sim_pq_trained,
         "dd_incremental_neardup": q_dd_incremental_neardup,
         "ts_dataset_split": q_ts_dataset_split,
+        "src_warc_roundtrip": q_src_warc_roundtrip,
     }
     gated = {k: base[k] for k in _R5_GATE}
     assert len(gated) == 50
@@ -2101,7 +2145,6 @@ _R5_GATE = [
     "mm_metadata",
     "mm_image_features",
     "mm_audio_features",
-    "mm_video_frames",
     "dd_text_neardup_scalable",
     "dd_embedding_neardup_scalable",
     # first driver round: the 18 from VERDICT r4 #1
@@ -2143,6 +2186,7 @@ _R5_GATE = [
     "sim_pq_trained",
     "dd_incremental_neardup",
     "ts_dataset_split",
+    "src_warc_roundtrip",
 ]
 
 
@@ -3920,6 +3964,26 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY adist, item_id) AS rank
             FROM score
           ) WHERE rank <= 10
+        """,
+        # WARC round-trip: the parse must be byte-faithful, so the oracle
+        # rebuilds every field from the construction rule (HTTP block
+        # measured by constructing the same string; body via md5)
+        "src_warc_roundtrip": """
+          SELECT doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY doc_id // 10 ORDER BY doc_id)
+                 AS INT) - 1 AS rec_idx,
+            'https://example.org/doc/' || doc_id AS target_uri,
+            '2024-01-01T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+              || 'Z' AS warc_date,
+            200 AS http_status,
+            CAST(octet_length(encode(
+              'HTTP/1.1 200 OK' || chr(13) || chr(10)
+              || 'Content-Type: text/plain' || chr(13) || chr(10)
+              || 'Content-Length: ' || octet_length(encode(text))
+              || chr(13) || chr(10) || chr(13) || chr(10) || text
+            )) AS BIGINT) AS content_length,
+            md5(text) AS body_md5
+          FROM documents
         """,
         # IVFADC unrolled: assignment = the semdedup oracle's raw-cosine
         # ROW_NUMBER rule; residuals are exact IEEE subtractions; encode

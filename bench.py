@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "ts_dataset_split",
     "sim_pq_trained",
     "dd_incremental_neardup",
+    "src_warc_roundtrip",
 ]
 
 
