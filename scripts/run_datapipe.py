@@ -42,6 +42,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="documents parquet (doc_id, text, lang, source)")
+    ap.add_argument("--input-format", choices=("parquet", "warc"), default="parquet",
+                    help="warc: --input is a directory of .warc/.warc.gz files; "
+                         "records parse via sources/warc.py, doc_id = 64-bit "
+                         "hash of (uri, chunk, rec), source = URI host, lang "
+                         "via the n-gram lang_id signal")
     ap.add_argument("--output", required=True, help="stage/checkpoint base dir")
     ap.add_argument("--eval", default=None,
                     help="benchmark/eval parquet (doc_id, text); training docs "
@@ -88,7 +93,38 @@ def main(argv: list[str] | None = None) -> int:
         }
         return df
 
-    docs = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from pmcanalysis_spark.operators.dedup import portable_hash64
+        from pmcanalysis_spark.operators.textstats import lang_id
+        from pmcanalysis_spark.sources.warc import parse_warc_records
+
+        chunks = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.warc*")
+            .load(args.input)
+            .select(
+                portable_hash64(F.col("path")).alias("chunk_id"),
+                F.col("content").alias("payload"),
+            )
+        )
+        recs = parse_warc_records(chunks).filter(
+            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        )
+        pages = recs.select(
+            portable_hash64(
+                F.concat_ws("|", "target_uri", "chunk_id", "rec_idx")
+            ).alias("doc_id"),
+            F.col("body").cast("string").alias("text"),
+            F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)", 1).alias("source"),
+        )
+        docs = pages.join(
+            lang_id(pages.select("doc_id", "text")).select(
+                "doc_id", F.col("pred_lang").alias("lang")
+            ),
+            "doc_id",
+        )
+    else:
+        docs = spark.read.parquet(args.input)
     fp_base = f"input={args.input}|seed={args.seed}"
 
     # 1. keep/drop gate (reasons recorded — the auditable cleaning decision)
