@@ -126,6 +126,45 @@ def parse_warc_records(
     return base.mapInPandas(parse, WARC_SCHEMA)
 
 
+def write_warc_shards(
+    docs: DataFrame,
+    shard_col: str = "shard_id",
+    uri_col: str = "uri",
+    date_col: str = "date",
+    text_col: str = "text",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """WARC sink half: (shard_id, n_records, payload) — one ISO 28500
+    archive per shard, records in (uri) order within the shard,
+    record-per-gzip-member by default so the output is byte-splittable
+    downstream (the same property the parser exploits). Returns the
+    archive table rather than writing files: the caller hands payloads to
+    whatever byte store it owns (object-store put, `foreachPartition`
+    writer, a snapshot commit) — same contract as the shard manifest.
+
+    Plan: ONE groupBy(shard) + applyInPandas; a shard's archive is built
+    by one task, so per-task memory is one shard's bytes — the same bound
+    ``shard_manifest`` already chose when it sized shards. Round-trips
+    through ``parse_warc_records`` byte-faithfully (tested)."""
+    import pandas as pd
+
+    def build(key, pdf):
+        pdf = pdf.sort_values(uri_col)
+        blob = b"".join(
+            build_warc_record(
+                str(u), str(d), str(t).encode(), gzip_member=gzip_members
+            )
+            for u, d, t in zip(pdf[uri_col], pdf[date_col], pdf[text_col])
+        )
+        return pd.DataFrame(
+            {"shard_id": [key[0]], "n_records": [len(pdf)], "payload": [blob]}
+        )
+
+    return docs.groupBy(shard_col).applyInPandas(
+        build, "shard_id long, n_records long, payload binary"
+    )
+
+
 def build_warc_record(
     uri: str, date: str, body: bytes, status: int = 200,
     content_type: str = "text/plain", gzip_member: bool = False,
