@@ -684,3 +684,39 @@ def test_neardup_incremental_admits_batches(spark):
     pairs3, _ = neardup_incremental(b3, store2, threshold=0.5, num_hashes=8, bands=4)
     got3 = {(r.a_id, r.b_id) for r in pairs3.collect()}
     assert (13, 20) in got3 and (0, 20) in got3
+
+
+def test_neardup_incremental_store_through_snapshots(spark, tmp_path):
+    """The signature store lives naturally in the snapshot layer: each
+    crawl batch appends its store rows as a commit; admitting batch N
+    reads the current snapshot; a rollback re-admits against the older
+    corpus (a bad-crawl undo). Sorted sh arrays make store rows stable
+    across re-commits."""
+    from pmcanalysis_spark.operators.dedup import (
+        neardup_incremental,
+        neardup_signature_store,
+    )
+    from pmcanalysis_spark.snapshots import SnapshotTable
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b0 = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    b1 = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(20, base)], "doc_id long, text string")
+
+    st = SnapshotTable(spark, str(tmp_path / "store"))
+    st.commit(neardup_signature_store(b0, num_hashes=8, bands=4))
+
+    p1, rows1 = neardup_incremental(b1, st.read(), threshold=0.5,
+                                    num_hashes=8, bands=4)
+    assert {(r.a_id, r.b_id) for r in p1.collect()} == {(0, 10)}
+    v2 = st.commit(rows1)
+
+    p2, _ = neardup_incremental(b2, st.read(), threshold=0.5,
+                                num_hashes=8, bands=4)
+    assert {(r.a_id, r.b_id) for r in p2.collect()} == {(0, 20), (10, 20)}
+
+    # bad crawl: roll back past batch 1, re-admit batch 2 against v1 only
+    st.rollback(v2 - 1)
+    p3, _ = neardup_incremental(b2, st.read(), threshold=0.5,
+                                num_hashes=8, bands=4)
+    assert {(r.a_id, r.b_id) for r in p3.collect()} == {(0, 20)}
