@@ -56,6 +56,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="also collapse MinHash-LSH near-duplicate clusters "
                          "(keep the lowest doc_id per cluster)")
     ap.add_argument("--neardup-threshold", type=float, default=0.8)
+    ap.add_argument("--incremental-store", default=None,
+                    help="snapshot-table dir for the near-dup signature "
+                         "store: this run's docs are near-dup'd against "
+                         "every previously admitted batch (without their "
+                         "text), survivors' signatures are committed as a "
+                         "new store version")
     ap.add_argument("--target-tokens", type=int, default=None,
                     help="temperature-mix token target (default: skip mixing)")
     ap.add_argument("--alpha", type=float, default=0.5)
@@ -160,6 +166,50 @@ def main(argv: list[str] | None = None) -> int:
             "doc_id",
             "left_anti",
         )
+
+    # 3b. optional INCREMENTAL near-dup against a persisted signature store
+    # (the multi-run shape: each job run is one crawl batch; the store is a
+    # snapshot-versioned table — rollback = undo a bad crawl's admission)
+    if args.incremental_store:
+        from pmcanalysis_spark.operators.dedup import neardup_incremental
+        from pmcanalysis_spark.snapshots import SnapshotTable
+
+        st = SnapshotTable(spark, args.incremental_store)
+        if st.current_version() is None:
+            from pmcanalysis_spark.operators.dedup import neardup_signature_store
+
+            v = st.commit(neardup_signature_store(surv))
+            summary["incremental"] = {"bootstrap_version": v, "dropped": 0}
+        else:
+            store_df = st.read()
+            old_ids = store_df.select("doc_id").distinct()
+            pairs, new_rows = neardup_incremental(
+                surv, store_df, threshold=args.neardup_threshold
+            )
+            pairs = pairs.persist()
+            # drop a new doc if it near-dups anything already admitted
+            # (either pair side), or the greater id of a new-new pair
+            vs_old_a = pairs.join(
+                old_ids.withColumnRenamed("doc_id", "a_id"), "a_id"
+            ).select(F.col("b_id").alias("doc_id"))
+            vs_old_b = pairs.join(
+                old_ids.withColumnRenamed("doc_id", "b_id"), "b_id"
+            ).select(F.col("a_id").alias("doc_id"))
+            new_new_hi = (
+                pairs.join(old_ids.withColumnRenamed("doc_id", "a_id"), "a_id", "left_anti")
+                .join(old_ids.withColumnRenamed("doc_id", "b_id"), "b_id", "left_anti")
+                .select(F.col("b_id").alias("doc_id"))
+            )
+            drops = vs_old_a.unionByName(vs_old_b).unionByName(new_new_hi).distinct()
+            n_drop = drops.count()
+            surv = surv.join(drops, "doc_id", "left_anti")
+            # admit ONLY the survivors' signatures — dropped docs never
+            # entered the corpus, so they must not veto future batches
+            v = st.commit(
+                new_rows.join(drops, "doc_id", "left_anti")
+            )
+            pairs.unpersist()
+            summary["incremental"] = {"store_version": v, "dropped": n_drop}
 
     # 4. optional decontamination against the eval corpus
     if args.eval:

@@ -120,3 +120,55 @@ def test_datapipe_warc_input(spark, tmp_path, capsys):
     assert keep.count() == 80
     # doc ids are distinct hashes; every source is a site host
     assert keep.select("doc_id").distinct().count() == 80
+
+
+def test_datapipe_incremental_store_across_runs(spark, tmp_path, capsys):
+    """--incremental-store: run 1 bootstraps the signature store; run 2
+    (a later crawl containing near-copies of run-1 docs) drops them and
+    admits only genuinely-new content; run 3 still sees run 2's
+    admissions. Deterministic long texts keep the keep-gate out of the
+    way."""
+    import pandas as pd
+
+    stops = ["the", "is", "and", "of", "to", "that", "with", "for"]
+
+    def mk(prefix):
+        # stopword-interleaved distinct tokens: passes the keep gate
+        # (quality 1.0, bigram dup_frac ~0, lang=en) without repetition
+        return " ".join(
+            f"{stops[i % 8]} {prefix}{i}word" for i in range(60)
+        )
+
+    base, other, third = mk("aa"), mk("bb"), mk("cc")
+
+    def write(docs, p):
+        pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"]).to_parquet(p)
+
+    b1 = str(tmp_path / "b1.parquet")
+    b2 = str(tmp_path / "b2.parquet")
+    write([(1, base, "en", "w"), (2, other, "en", "w")], b1)
+    # 11 = near-copy of 1; 12 = near-copy of 11 (new-new, higher id loses);
+    # 13 = new content
+    write([(11, base + " tail", "en", "w"), (12, base + " tail", "en", "w"),
+           (13, third, "en", "w")], b2)
+
+    store = str(tmp_path / "store")
+    r1 = _run(["--input", b1, "--output", str(tmp_path / "o1"),
+               "--incremental-store", store, "--neardup-threshold", "0.5",
+               "--cores", "4"], capsys)
+    assert r1["stages"]["incremental"]["bootstrap_version"] == 1
+    assert r1["final_docs"] == 2
+
+    r2 = _run(["--input", b2, "--output", str(tmp_path / "o2"),
+               "--incremental-store", store, "--neardup-threshold", "0.5",
+               "--cores", "4"], capsys)
+    # 11 dups old 1 -> dropped; 12 exact-dups 11 -> gone at exact stage
+    # (or as new-new higher id); only 13 survives
+    assert r2["final_docs"] == 1
+    assert r2["stages"]["incremental"]["dropped"] >= 1
+
+    from pmcanalysis_spark.snapshots import SnapshotTable
+    st = SnapshotTable(spark, store)
+    ids = {r.doc_id for r in st.read().select("doc_id").collect()}
+    assert 1 in ids and 2 in ids and 13 in ids
+    assert 11 not in ids and 12 not in ids
