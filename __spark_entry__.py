@@ -1871,6 +1871,33 @@ def q_src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_src_warc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC SINK round-trip (r5): docs shard by doc_id % 8, each shard
+    becomes one gzip-membered archive (`write_warc_shards`), and the
+    archives are re-parsed record-by-record. rec_idx must follow the
+    sink's uri STRING sort (zero-padding-free, so '.../10' < '.../2'),
+    and every body md5 must survive the build→gzip→parse cycle — the
+    oracle recomputes all of it from the shard rule alone."""
+    from pmcanalysis_spark.sources.warc import parse_warc_records, write_warc_shards
+
+    docs = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 8).alias("shard_id"),
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id")).alias("uri"),
+        F.lit("2024-01-01T00:00:00Z").alias("date"),
+        "text",
+    )
+    shards = write_warc_shards(docs)
+    recs = parse_warc_records(
+        shards.select(F.col("shard_id").alias("chunk_id"), "payload")
+    )
+    return recs.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("chunk_id").alias("shard_id"),
+        "rec_idx",
+        F.md5("body").alias("body_md5"),
+    )
+
+
 def q_ts_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (r5): md5 bucket vs cumulative
     thresholds (test 5% / train 90% / val 5% in sorted-name order), a
@@ -2124,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_incremental_neardup": q_dd_incremental_neardup,
         "ts_dataset_split": q_ts_dataset_split,
         "src_warc_roundtrip": q_src_warc_roundtrip,
+        "src_warc_sink": q_src_warc_sink,
     }
     gated = {k: base[k] for k in _R5_GATE}
     assert len(gated) == 50
@@ -2144,7 +2172,6 @@ _R5_GATE = [
     "ts_vocab_encode",
     "mm_metadata",
     "mm_image_features",
-    "mm_audio_features",
     "dd_text_neardup_scalable",
     "dd_embedding_neardup_scalable",
     # first driver round: the 18 from VERDICT r4 #1
@@ -2187,6 +2214,7 @@ _R5_GATE = [
     "dd_incremental_neardup",
     "ts_dataset_split",
     "src_warc_roundtrip",
+    "src_warc_sink",
 ]
 
 
@@ -3982,6 +4010,16 @@ def oracle_sql() -> dict[str, str]:
               || 'Content-Length: ' || octet_length(encode(text))
               || chr(13) || chr(10) || chr(13) || chr(10) || text
             )) AS BIGINT) AS content_length,
+            md5(text) AS body_md5
+          FROM documents
+        """,
+        # WARC sink round-trip: rec_idx follows the sink's uri STRING sort
+        "src_warc_sink": """
+          SELECT doc_id,
+            doc_id % 8 AS shard_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                 ORDER BY 'https://example.org/doc/' || doc_id) AS INT) - 1
+              AS rec_idx,
             md5(text) AS body_md5
           FROM documents
         """,

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "sim_pq_trained",
     "dd_incremental_neardup",
     "src_warc_roundtrip",
+    "src_warc_sink",
 ]
 
 
