@@ -1696,6 +1696,48 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_pairs(_docs(spark, sf_dir), k=20)
 
 
+def q_dd_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-grain exact dedup (r5): the RefinedWeb / CCNet
+    boilerplate remover — any normalized line appearing in >= 2 distinct
+    docs is stripped from every doc. The flat synthetic docs are
+    single-line, so the probe plants the structure the operator must
+    remove: every page gets the shared cookie-banner header, one of two
+    nav footers (doc_id parity), and every 31st doc's body is replaced by
+    a shared subscribe-blurb (so the all-lines-removed -> text='' path is
+    live in the gated query, not just in pytest). Document-grain dedup
+    (dd_exact_dedup / dd_minhash) cannot see this: the pages are NOT
+    near-dups, yet 2-3 of their lines are pure duplication."""
+    from pmcanalysis_spark.operators.dedup import line_dedup
+
+    docs = _docs_parallel(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("Accept cookies to continue\n"),
+            F.when(
+                F.col("doc_id") % 31 == 0, F.lit("Subscribe to our newsletter")
+            ).otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\nCopyright Example Corp")
+            ).otherwise(F.lit("\nAbout | Contact | Privacy")),
+        ).alias("text"),
+    )
+    return line_dedup(docs, min_docs=2)
+
+
+def q_ts_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (r5, arXiv:2302.03169): hashed unigram+
+    bigram bag log-likelihood ratio of every raw doc under an in-domain
+    target (docs with doc_id % 17 == 0 act as the target corpus) vs the
+    raw corpus itself — the data-selection score LLaMA-class pipelines
+    rank by. Bucket space fixed at 4096 (bounded groupBy keys, broadcast
+    log-ratio table, no raw-side shuffle until the per-doc sum)."""
+    from pmcanalysis_spark.operators.textstats import dsir_weights
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 17 == 0)
+    return dsir_weights(docs, target, n_buckets=4096, alpha=0.5, seed=1)
+
+
 def q_kg_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving snippet highlighting (r5): +-30-char fragment around the
     first occurrence of each lexicon name, match wrapped in <b></b> — the
@@ -2152,6 +2194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dataset_split": q_ts_dataset_split,
         "src_warc_roundtrip": q_src_warc_roundtrip,
         "src_warc_sink": q_src_warc_sink,
+        # -- NEWEST in r5: gated in their first round (ev_topk_users and
+        # -- ts_pii_redact, both 2+ green driver rounds, rotate to 51+) --
+        "dd_line_dedup": q_dd_line_dedup,
+        "ts_dsir_weights": q_ts_dsir_weights,
     }
     gated = {k: base[k] for k in _R5_GATE}
     assert len(gated) == 50
@@ -2161,14 +2207,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The 50 driver-gated entries for r5 (order = gate membership; see the
 # rotation rationale in queries() and COVERAGE.md "Driver-gate rotation").
 _R5_GATE = [
-    # kept veterans (13): flagship trio + CC + r4 first-rounders (2nd round)
-    # + the dedup/ANN scale heads
+    # kept veterans (9): flagship trio + CC + vocab/mm first-rounders
+    # (2nd round) + the dedup/ANN scale heads (ev_topk_users and
+    # ts_pii_redact, 2+ green rounds each, rotated out for the two
+    # newest r5 queries)
     "kg_mentions_docfreq",
     "kg_pair_counts",
     "kg_triples_scored",
     "kg_connected_components",
-    "ev_topk_users",
-    "ts_pii_redact",
     "ts_vocab_encode",
     "mm_metadata",
     "mm_image_features",
@@ -2215,6 +2261,8 @@ _R5_GATE = [
     "ts_dataset_split",
     "src_warc_roundtrip",
     "src_warc_sink",
+    "dd_line_dedup",
+    "ts_dsir_weights",
 ]
 
 
@@ -4099,6 +4147,84 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY adist, item_id) AS rank
             FROM score
           ) WHERE rank <= 10
+        """,
+        # same planted header/footer/subscribe-body construction as the
+        # query; a line is boilerplate when its lower(trim) form appears in
+        # >= 2 DISTINCT docs; survivors rejoin in original position order
+        # (COALESCE(.., '') because DuckDB string_agg over all-NULL is NULL
+        # while Spark array_join over the empty array is '')
+        "dd_line_dedup": """
+          WITH src AS (
+            SELECT doc_id,
+                   concat('Accept cookies to continue', chr(10),
+                          CASE WHEN doc_id % 31 = 0
+                               THEN 'Subscribe to our newsletter' ELSE text END,
+                          chr(10),
+                          CASE WHEN doc_id % 2 = 0 THEN 'Copyright Example Corp'
+                               ELSE 'About | Contact | Privacy' END) AS text
+            FROM documents
+          ),
+          occ AS (
+            SELECT doc_id, pos, line, lower(trim(line)) AS key FROM (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+              FROM src
+            ) WHERE lower(trim(line)) <> ''
+          ),
+          common AS (
+            SELECT key FROM (
+              SELECT key, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY key
+            ) WHERE df >= 2
+          )
+          SELECT o.doc_id, COUNT(*) AS n_lines,
+                 CAST(SUM(CASE WHEN c.key IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_removed,
+                 COALESCE(string_agg(CASE WHEN c.key IS NULL THEN o.line END,
+                                     chr(10) ORDER BY o.pos), '') AS text
+          FROM occ o LEFT JOIN common c USING (key)
+          GROUP BY o.doc_id
+        """,
+        # unigram+bigram bag, portable-hash64(seed 1) % 4096 buckets,
+        # add-0.5 smoothing over the FIXED 4096-bucket space; per-bucket
+        # log-ratios ROUND(9), per-doc sums DECIMAL(28,9) (repo float
+        # recipe). Target corpus = doc_id % 17 == 0.
+        "ts_dsir_weights": """
+          WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS arr
+            FROM documents
+          ), nz AS (SELECT doc_id, arr FROM base WHERE len(arr) > 0),
+          grams AS (
+            SELECT doc_id, unnest(arr) AS gram FROM nz
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(arr)),
+                                         i -> arr[i] || ' ' || arr[i + 1])) AS gram
+            FROM nz
+          ),
+          occ AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(concat('1', '|', gram)), 1, 15))
+                        AS BIGINT) % 4096 AS bucket
+            FROM grams
+          ),
+          rawc AS (SELECT bucket, COUNT(*) AS nq FROM occ GROUP BY 1),
+          tgtc AS (SELECT bucket, COUNT(*) AS np FROM occ
+                   WHERE doc_id % 17 = 0 GROUP BY 1),
+          tots AS (SELECT (SELECT SUM(nq) FROM rawc) AS nq_tot,
+                          (SELECT SUM(np) FROM tgtc) AS np_tot),
+          lr AS (
+            SELECT bucket,
+                   ROUND(ln((COALESCE(np, 0) + 0.5) / (np_tot + 0.5 * 4096))
+                         - ln((nq + 0.5) / (nq_tot + 0.5 * 4096)), 9) AS lr
+            FROM rawc LEFT JOIN tgtc USING (bucket) CROSS JOIN tots
+          )
+          SELECT o.doc_id, COUNT(*) AS n_grams,
+                 ROUND(CAST(SUM(CAST(l.lr AS DECIMAL(28, 9))) AS DOUBLE), 6)
+                   AS log_w
+          FROM occ o JOIN lr l USING (bucket)
+          GROUP BY 1
         """,
     }
 

@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "dd_incremental_neardup",
     "src_warc_roundtrip",
     "src_warc_sink",
+    "dd_line_dedup",
+    "ts_dsir_weights",
 ]
 
 

@@ -1279,3 +1279,77 @@ def semantic_dedup(
             F.col("_drop").isNull().alias("keep"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide line-grain exact dedup — the RefinedWeb/CCNet boilerplate
+    remover (Penedo et al. 2023 §4.2 "line-wise corrections"; CCNet's
+    paragraph-hash dedup): a line whose normalized form (trim + lowercase)
+    appears in >= ``min_docs`` DISTINCT documents is navigation/footer/cookie
+    boilerplate, and every occurrence is removed from every document.
+    Returns (doc_id, n_lines, n_removed, text) with the surviving lines
+    rejoined by ``line_sep`` in original order; lines that normalize to ''
+    are dropped from both counting and output (they carry no content).
+
+    Document-grain dedup (exact_dedup/minhash) misses this entirely: two
+    pages sharing a 40-line nav bar but different articles are NOT near-dups,
+    yet 40 of their lines are pure duplication. Reference analog: the
+    boilerplate intent behind the HTML cleanup in Dermo2Monarch.groovy's
+    extract chain (our extract.py strips tags; this strips repeated text).
+
+    Scale shape (100 TB): the df count is groupBy(key, doc)-distinct FIRST —
+    (key, doc_id) hashes spread a hot boilerplate line ("accept cookies")
+    across all partitions — then a bounded map-side-combinable count per key,
+    so no single reducer ever sees a hot line's full occurrence list. The
+    flag join keys occurrences on the line hash; the common-line side is one
+    row per distinct repeated line (AQE handles the occurrence-side skew).
+    Rebuild is one groupBy(doc_id) — unique key, no skew. Zero Python UDFs.
+    """
+    lines = F.split(F.col(text_col), line_sep)
+    occ = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(lines).alias("pos", "line"),
+        )
+        .withColumn("key", F.lower(F.trim(F.col("line"))))
+        .filter(F.col("key") != "")
+    )
+    common = (
+        occ.select("key", "doc_id")
+        .distinct()
+        .groupBy("key")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("key", F.lit(True).alias("_common"))
+    )
+    flagged = occ.join(common, "key", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("_common"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_common").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                line_sep,
+            ).alias("text"),
+        )
+        .select("doc_id", "n_lines", "n_removed", "text")
+    )

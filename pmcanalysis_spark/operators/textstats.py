@@ -1022,3 +1022,106 @@ def shard_manifest(
         F.col("_start").alias("start_offset"),
         "n_tok",
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    seed: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling — DSIR (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much more likely its
+    hashed n-gram bag is under a small in-domain ``target`` corpus than under
+    the raw corpus itself. Output (doc_id, n_grams, log_w) where
+    log_w = Σ_grams [ln p_target(bucket) − ln p_raw(bucket)] — the importance
+    log-weight a selection step ranks (or resamples) by; positive means
+    "looks like the target domain".
+
+    Features are the paper's: unigrams + bigrams, hashed into ``n_buckets``
+    buckets via the engine-portable md5 hash (`dedup.portable_hash64`), each
+    distribution add-``alpha`` smoothed over the FIXED bucket space (a
+    constant, so cross-engine exact). Deterministic end to end: counting +
+    log arithmetic, no RNG, no trained artifact — the per-bucket log-ratio
+    terms are ROUND(9) and per-doc sums DECIMAL(28,9) (the repo-standard
+    float recipe), so a DuckDB oracle replays it value-exactly.
+
+    Scale shape (100 TB raw, MB-scale target): exactly TWO passes over the
+    raw corpus (stats + scoring — the DSIR-inherent minimum). Both corpora
+    are tagged and UNIONED into ONE bucket aggregation (no raw/target count
+    join at all) on a key space BOUNDED by n_buckets (map-side partials
+    collapse each partition to <= n_buckets rows — the hot-bucket skew
+    ceiling is one combiner cell per partition); corpus totals come from a
+    window over that bounded counts table (a SinglePartition exchange of
+    <= n_buckets rows, a constant), NEVER a re-aggregation of the raw
+    stream; the log-ratio table is <= n_buckets rows and BROADCAST, so the
+    raw-side occurrence stream never shuffles on gram/bucket — the only
+    wide exchange is the final per-doc sum on the unique doc_id key. Zero
+    Python UDFs.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import portable_hash64
+
+    def occurrences(df: DataFrame) -> DataFrame:
+        arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        base = df.select(F.col(id_col).alias("doc_id"), arr.alias("arr")).filter(
+            F.size("arr") > 0
+        )
+        unis = base.select("doc_id", F.explode("arr").alias("gram"))
+        bis = base.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("arr"), 1, F.size("arr") - 1),
+                    lambda v, i: F.concat_ws(" ", v, F.col("arr")[i + 1]),
+                )
+            ).alias("gram"),
+        )
+        return unis.unionByName(bis).select(
+            "doc_id",
+            F.pmod(portable_hash64(F.col("gram"), seed), F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+        )
+
+    raw_occ = occurrences(docs)
+    counts = (
+        raw_occ.select("bucket", F.lit(1).alias("_q"), F.lit(0).alias("_p"))
+        .unionByName(
+            occurrences(target).select(
+                "bucket", F.lit(0).alias("_q"), F.lit(1).alias("_p")
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.sum("_q").alias("nq"), F.sum("_p").alias("np"))
+    )
+    denom = F.lit(float(alpha)) * F.lit(float(n_buckets))
+    whole = Window.partitionBy()
+    lr = counts.select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("np") + F.lit(float(alpha)))
+                / (F.sum("np").over(whole) + denom)
+            )
+            - F.log(
+                (F.col("nq") + F.lit(float(alpha)))
+                / (F.sum("nq").over(whole) + denom)
+            ),
+            9,
+        ).alias("lr"),
+    )
+    return (
+        raw_occ.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.sum(F.col("lr").cast("decimal(28,9)")).cast("double"), 6
+            ).alias("log_w"),
+        )
+    )

@@ -6,9 +6,12 @@ training set from a raw document table).
 
     documents(doc_id, text, lang, source)
       → keep_filter        (C4/Gopher keep decisions, reasons recorded)
+      → line_dedup         (optional: corpus-common boilerplate lines cut)
       → exact_dedup        (md5 clusters, canonical-id survivors)
       → neardup clusters   (optional: MinHash-LSH → confirm → CC)
       → decontaminate      (optional: n-gram overlap vs an eval corpus)
+      → dsir select        (optional: importance-weight top fraction vs a
+                            target corpus, arXiv:2302.03169)
       → temperature_mix    (α-sampling to a token target across sources)
       → shuffle_order      (deterministic global epoch order)
       → shard_manifest     (whole-doc greedy shards a writer materializes)
@@ -22,7 +25,8 @@ Usage (cluster):
     zip -r pmcanalysis_spark.zip pmcanalysis_spark
     spark-submit --py-files pmcanalysis_spark.zip scripts/run_datapipe.py \
         --input <documents parquet> --output <stage dir> \
-        [--eval <benchmark parquet>] [--neardup] \
+        [--eval <benchmark parquet>] [--neardup] [--line-dedup] \
+        [--dsir-target <parquet> --dsir-keep-frac 0.5] \
         [--target-tokens N] [--alpha 0.5] [--tokens-per-shard N] [--seed 11]
 
 Local smoke: --input /root/testdata/sf0.001/documents.parquet --cores 8
@@ -62,6 +66,17 @@ def main(argv: list[str] | None = None) -> int:
                          "every previously admitted batch (without their "
                          "text), survivors' signatures are committed as a "
                          "new store version")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="strip corpus-common lines (boilerplate appearing "
+                         "in >= --line-min-docs distinct docs) from every "
+                         "doc before document-grain dedup")
+    ap.add_argument("--line-min-docs", type=int, default=2)
+    ap.add_argument("--dsir-target", default=None,
+                    help="in-domain target parquet (doc_id, text): score "
+                         "every surviving doc by DSIR importance log-weight "
+                         "and keep the top --dsir-keep-frac fraction")
+    ap.add_argument("--dsir-keep-frac", type=float, default=0.5)
+    ap.add_argument("--dsir-buckets", type=int, default=4096)
     ap.add_argument("--target-tokens", type=int, default=None,
                     help="temperature-mix token target (default: skip mixing)")
     ap.add_argument("--alpha", type=float, default=0.5)
@@ -141,6 +156,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     record("keep", res, keep)
     kept = docs.join(keep.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
+
+    # 1b. optional corpus-common line removal (boilerplate cut BEFORE
+    # document-grain dedup: two pages differing only in nav/footer lines
+    # become exact duplicates once the shared lines are gone)
+    if args.line_dedup:
+        from pmcanalysis_spark.operators.dedup import line_dedup
+
+        ld, res = materialize_stage(
+            line_dedup(kept, min_docs=args.line_min_docs),
+            "line_dedup", args.output, "doc_id",
+            input_fingerprint_extra=fp_base + f"|line_min={args.line_min_docs}",
+        )
+        record("line_dedup", res, ld)
+        kept = kept.drop("text").join(
+            ld.filter(F.length("text") > 0).select("doc_id", "text"), "doc_id"
+        )
 
     # 2. exact dedup — survivors are each cluster's canonical (min) id
     clusters, res = materialize_stage(
@@ -225,6 +256,30 @@ def main(argv: list[str] | None = None) -> int:
             "doc_id",
             "left_anti",
         )
+
+    # 4b. optional DSIR selection toward an in-domain target corpus: keep
+    # the top --dsir-keep-frac fraction by importance log-weight. The
+    # threshold is the approx (1-frac) quantile of log_w — a mergeable GK
+    # sketch (map-side partials, no global sort), the 100 TB path; the
+    # materialized stage records every doc's weight for the audit trail.
+    if args.dsir_target:
+        from pmcanalysis_spark.operators.textstats import dsir_weights
+
+        tgt = spark.read.parquet(args.dsir_target)
+        wts, res = materialize_stage(
+            dsir_weights(surv, tgt, n_buckets=args.dsir_buckets, seed=args.seed),
+            "dsir", args.output, "doc_id",
+            input_fingerprint_extra=fp_base
+            + f"|dsir={args.dsir_target}|b={args.dsir_buckets}",
+        )
+        record("dsir", res, wts)
+        thr = wts.agg(
+            F.percentile_approx("log_w", 1.0 - args.dsir_keep_frac).alias("t")
+        ).first()["t"]
+        surv = surv.join(
+            wts.filter(F.col("log_w") >= thr).select("doc_id"), "doc_id"
+        )
+        summary["dsir"]["threshold"] = thr
 
     # 5. optional temperature mixing toward the token target
     if args.target_tokens:

@@ -172,3 +172,76 @@ def test_datapipe_incremental_store_across_runs(spark, tmp_path, capsys):
     ids = {r.doc_id for r in st.read().select("doc_id").collect()}
     assert 1 in ids and 2 in ids and 13 in ids
     assert 11 not in ids and 12 not in ids
+
+
+def test_datapipe_line_dedup_and_dsir_stages(spark, tmp_path, capsys):
+    """--line-dedup strips planted corpus-common lines before dedup (two
+    pages differing only in boilerplate collapse to one survivor) and
+    --dsir-target keeps only the importance-weight top fraction."""
+    import pyspark.sql.functions as F
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    # plant: shared header on every doc; docs 9000/9001 share a body
+    # (keep-filter-passing: varied bigrams, stopwords, no punctuation) and
+    # differ ONLY in boilerplate repetition -> exact dedup misses them,
+    # line_dedup (min_docs=3: the 2-doc body stays, the 62-doc header goes)
+    # makes them byte-identical
+    shared_body = (
+        "the data of spark and window is it that for "
+        "join scan merge sort hash part batch stream dup key"
+    )
+    extra = spark.createDataFrame(
+        [
+            (9000, f"NAV MENU\n{shared_body}", "en", "web"),
+            (9001, f"NAV MENU\nNAV MENU\n{shared_body}", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text"))
+    docs = base.withColumn(
+        "text", F.concat(F.lit("NAV MENU\n"), F.col("text"))
+    ).unionByName(extra)
+    docs_path = str(tmp_path / "docs")
+    docs.write.parquet(docs_path)
+
+    tgt_path = str(tmp_path / "tgt")
+    base.filter("doc_id % 7 = 0").select("doc_id", "text").write.parquet(tgt_path)
+
+    out_dir = str(tmp_path / "dp")
+    res = _run(
+        [
+            "--input", docs_path, "--output", out_dir,
+            "--line-dedup", "--line-min-docs", "3",
+            "--dsir-target", tgt_path,
+            "--dsir-keep-frac", "0.5", "--min-tokens", "5",
+            "--tokens-per-shard", "500", "--cores", "4",
+        ],
+        capsys,
+    )
+    assert {"keep", "line_dedup", "exact_dedup", "dsir", "order", "shards"} <= set(
+        res["stages"]
+    )
+    assert "threshold" in res["stages"]["dsir"]
+
+    ld = spark.read.parquet(os.path.join(out_dir, "line_dedup", "data"))
+    # the planted header was cut from every kept doc
+    assert ld.filter(F.col("text").contains("NAV MENU")).count() == 0
+    assert ld.filter("doc_id = 9000").first().n_removed >= 1
+
+    # after the line cut, 9000 and 9001 are byte-identical -> exact dedup
+    # merges them into one cluster (canonical = min id) and at most one
+    # reaches the shard manifest
+    xd = spark.read.parquet(os.path.join(out_dir, "exact_dedup", "data"))
+    merged = xd.filter("canonical_id = 9000").first()
+    assert merged is not None and merged.cluster_size == 2
+    shard_ids = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out_dir, "shards", "data")).collect()
+    }
+    assert len(shard_ids & {9000, 9001}) <= 1
+
+    # dsir kept roughly the top half (within approx-quantile slack)
+    wts = spark.read.parquet(os.path.join(out_dir, "dsir", "data"))
+    n_scored = wts.count()
+    n_final = res["final_docs"]
+    assert n_final <= n_scored
+    assert n_final >= int(0.3 * n_scored)

@@ -720,3 +720,57 @@ def test_neardup_incremental_store_through_snapshots(spark, tmp_path):
     p3, _ = neardup_incremental(b2, st.read(), threshold=0.5,
                                 num_hashes=8, bands=4)
     assert {(r.a_id, r.b_id) for r in p3.collect()} == {(0, 20)}
+
+
+def test_line_dedup_strips_corpus_common_lines(spark):
+    """RefinedWeb-style boilerplate removal: the shared nav/footer lines
+    vanish from every doc, unique body lines survive in original order,
+    and a doc made entirely of boilerplate comes back with text=''."""
+    from pmcanalysis_spark.operators.dedup import line_dedup
+
+    nav = "Home | About | Contact"
+    cookie = "Accept Cookies"
+    rows = [
+        (1, f"{nav}\nalpha article body\nmiddle unique line\n{cookie}"),
+        (2, f"{nav}\nbeta article body\n{cookie}"),
+        (3, f"{nav}\n{cookie}"),  # pure boilerplate page
+        (4, "standalone page with no shared lines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup(docs, min_docs=2).collect()}
+
+    assert got[1].text == "alpha article body\nmiddle unique line"
+    assert (got[1].n_lines, got[1].n_removed) == (4, 2)
+    assert got[2].text == "beta article body"
+    assert got[3].text == "" and got[3].n_removed == 2
+    assert got[4].text == rows[3][1] and got[4].n_removed == 0
+
+
+def test_line_dedup_normalizes_and_skips_blank_lines(spark):
+    """Matching is on lower(trim(line)); blank / whitespace-only lines are
+    dropped from counting AND from the rebuilt text."""
+    from pmcanalysis_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "  Accept COOKIES  \n\nreal content one\n   "),
+        (2, "accept cookies\nreal content two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup(docs, min_docs=2).collect()}
+    assert got[1].text == "real content one" and got[1].n_lines == 2
+    assert got[2].text == "real content two"
+
+
+def test_line_dedup_min_docs_is_distinct_doc_count(spark):
+    """A line repeated many times WITHIN one doc is not corpus-common:
+    the threshold counts distinct documents, not occurrences."""
+    from pmcanalysis_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "echo\necho\necho\nunique body"),
+        (2, "other body"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup(docs, min_docs=2).collect()}
+    assert got[1].text == "echo\necho\necho\nunique body"
+    assert got[1].n_removed == 0

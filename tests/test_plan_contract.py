@@ -389,3 +389,39 @@ def test_train_pq_codebooks_bounded_groups_partial_agg(spark):
     plan = _plan(agg)
     assert "partial" in plan.lower()        # map-side combine before the exchange
     assert plan.lower().count("exchange") <= 2  # one shuffle for the agg (+AQE read)
+
+
+def test_line_dedup_no_cartesian_partial_agg(spark):
+    """line_dedup's common-line detection must stay a keyed flag join
+    (never Cartesian), and the per-key doc-frequency count must carry a
+    map-side partial aggregate — the property that keeps a hot 'accept
+    cookies' line from funnelling into one reducer at 100 TB."""
+    from pmcanalysis_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"nav bar\nbody {i}\nfooter") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = line_dedup(docs, min_docs=2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_dsir_log_ratio_table_is_broadcast(spark):
+    """dsir_weights' per-bucket log-ratio table (<= n_buckets rows) must
+    reach the raw occurrence stream via broadcast — the raw side (the
+    100 TB side) must never SortMergeJoin on bucket."""
+    from pmcanalysis_spark.operators.textstats import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    tgt = docs.filter("doc_id % 5 = 0")
+    plan = (
+        dsir_weights(docs, tgt, n_buckets=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

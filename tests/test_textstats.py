@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import math
+
 from pmcanalysis_spark.operators.textstats import (
     doc_fingerprint,
     lang_id,
@@ -532,3 +534,81 @@ def test_dataset_split_stable_and_partitioned(spark):
     # a different seed reshuffles membership
     other = {r.doc_id: r.split for r in dataset_split(docs, seed=32).collect()}
     assert other != full
+
+
+def _dsir_expected(docs, target, n_buckets=64, alpha=0.5, seed=1):
+    """Scalar replication of dsir_weights: hashlib md5 bucket, add-alpha
+    smoothing over the fixed bucket space, ROUND(9) terms, per-doc sums."""
+    import hashlib
+    from collections import Counter
+    from decimal import Decimal
+
+    def grams(text):
+        toks = [t for t in text.split(" ") if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        h = hashlib.md5(f"{seed}|{g}".encode()).hexdigest()[:15]
+        return int(h, 16) % n_buckets
+
+    raw = Counter(bucket(g) for _, t in docs for g in grams(t))
+    tgt = Counter(bucket(g) for _, t in target for g in grams(t))
+    nq_tot, np_tot = sum(raw.values()), sum(tgt.values())
+    lr = {
+        b: round(
+            math.log((tgt.get(b, 0) + alpha) / (np_tot + alpha * n_buckets))
+            - math.log((nq + alpha) / (nq_tot + alpha * n_buckets)),
+            9,
+        )
+        for b, nq in raw.items()
+    }
+    out = {}
+    for did, t in docs:
+        gs = grams(t)
+        if gs:
+            s = sum(Decimal(str(lr[bucket(g)])) for g in gs)
+            out[did] = (len(gs), round(float(s), 6))
+    return out
+
+
+def test_dsir_weights_matches_scalar_replication(spark):
+    """Value-exact vs a pure-Python hashlib replication of the hashed
+    n-gram importance weights (Xie et al. 2023)."""
+    from pmcanalysis_spark.operators.textstats import dsir_weights
+
+    docs = [
+        (1, "spark shuffle join window spark"),
+        (2, "gene protein disease phenotype pathway"),
+        (3, "gene protein disease gene protein"),
+        (4, "spark scan filter project"),
+        (5, ""),
+    ]
+    target = [d for d in docs if d[0] in (2, 3)]
+    got = {
+        r.doc_id: (r.n_grams, r.log_w)
+        for r in dsir_weights(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            spark.createDataFrame(target, "doc_id long, text string"),
+            n_buckets=64,
+            alpha=0.5,
+            seed=1,
+        ).collect()
+    }
+    exp = _dsir_expected(docs, target, n_buckets=64)
+    assert got == exp
+    assert 5 not in got  # empty doc contributes no grams, emits no row
+
+
+def test_dsir_weights_ranks_in_domain_higher(spark):
+    """The point of the score: docs that look like the target corpus get
+    a higher log-weight than off-domain docs."""
+    from pmcanalysis_spark.operators.textstats import dsir_weights
+
+    bio = [(i, "gene protein disease phenotype pathway enzyme") for i in range(5)]
+    web = [(i + 100, "click here buy now free shipping sale") for i in range(5)]
+    docs = spark.createDataFrame(bio + web, "doc_id long, text string")
+    target = spark.createDataFrame(bio[:2], "doc_id long, text string")
+    got = dsir_weights(docs, target, n_buckets=256).collect()
+    bio_w = [r.log_w for r in got if r.doc_id < 100]
+    web_w = [r.log_w for r in got if r.doc_id >= 100]
+    assert min(bio_w) > max(web_w)
