@@ -1554,6 +1554,65 @@ def q_kg_pagerank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl pages over the documents table (the WARC-query
+    construction pattern): doc i lives at https://site{i%20}.example.org
+    and links to site{(7i+3)%20} (absolute), site{(13i+5)%20}
+    (scheme-relative //), itself (path-relative), plus a mailto: that must
+    be dropped. Pages on site19 emit NO anchors, making site19 a pure
+    sink — the PageRank dangling-mass path is live in the gate."""
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    s = lambda e: e.cast("string")
+    url = F.concat(
+        F.lit("https://site"), s(i % 20), F.lit(".example.org/p/"), s(i)
+    )
+    anchors = F.concat(
+        F.lit('<a href="https://site'), s((i * 7 + 3) % 20),
+        F.lit('.example.org/x/'), s(i), F.lit('">first <b>link</b></a>'),
+        F.lit('<a href="//site'), s((i * 13 + 5) % 20),
+        F.lit('.example.org/y">scheme relative</a>'),
+        F.lit('<a href="/local/page">within site</a>'),
+        F.lit('<a href="mailto:crawl@example.org">mail</a>'),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>intro</p>"),
+        F.when(i % 20 == 19, F.lit("")).otherwise(anchors),
+        F.lit("</body></html>"),
+    )
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+def q_kg_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level web graph (r5): extract_links (pure JVM regexp column
+    algebra, no Python crossing) over the constructed crawl pages →
+    host_graph's resolution rule (absolute→authority, //→host,
+    other-scheme→drop, relative→source host) → (src_host, dst_host,
+    n_links). The oracle rebuilds the edges from the construction rule
+    alone, so the Spark side's actual HTML parse must be exact."""
+    from pmcanalysis_spark.extract import extract_links
+    from pmcanalysis_spark.operators.graph import host_graph
+
+    return host_graph(extract_links(_link_pages(spark, sf_dir)))
+
+
+def q_kg_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host reputation (r5): the RefinedWeb/CCNet quality signal — two
+    exact-sums PageRank iterations over the DISTINCT host edges of
+    kg_host_graph (site19 is a pure dangling sink by construction). Same
+    decimal-unroll oracle recipe as kg_pagerank2."""
+    from pmcanalysis_spark.extract import extract_links
+    from pmcanalysis_spark.operators.graph import host_graph, pagerank
+
+    e = host_graph(extract_links(_link_pages(spark, sf_dir))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    pr = pagerank(e, max_iter=2, tol=-1.0, exact_sums=True)
+    return pr.select(
+        F.col("id").alias("host"), F.round("rank", 6).alias("rank")
+    )
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-occurrence KG (r4): oriented-wedge join,
     each triangle counted exactly once."""
@@ -1576,6 +1635,24 @@ _SPAN_OCC_SQL = """
       FROM documents
     )
     WHERE i + 7 <= len(toks)
+  )
+"""
+
+# host edges rebuilt from _link_pages' construction rule (no HTML parsing):
+# doc i on site i%20 → absolute link to site (7i+3)%20, scheme-relative to
+# site (13i+5)%20, path-relative self-edge; mailto dropped; site19 emits
+# no anchors (pure dangling sink)
+_HOST_EDGES_SQL = """
+  WITH d AS (
+    SELECT 'site' || (doc_id % 20) || '.example.org' AS src_host,
+           'site' || ((doc_id * 7 + 3) % 20) || '.example.org' AS t1,
+           'site' || ((doc_id * 13 + 5) % 20) || '.example.org' AS t2
+    FROM documents WHERE doc_id % 20 <> 19
+  ),
+  edges AS (
+    SELECT src_host, t1 AS dst_host FROM d
+    UNION ALL SELECT src_host, t2 FROM d
+    UNION ALL SELECT src_host, src_host FROM d
   )
 """
 
@@ -2198,6 +2275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- ts_pii_redact, both 2+ green driver rounds, rotate to 51+) --
         "dd_line_dedup": q_dd_line_dedup,
         "ts_dsir_weights": q_ts_dsir_weights,
+        # -- link-graph family (r5): gated first-round; the two dedup scale
+        # -- heads (2 and 3 green rounds) rotate to 51+ --
+        "kg_host_graph": q_kg_host_graph,
+        "kg_host_rank": q_kg_host_rank,
     }
     gated = {k: base[k] for k in _R5_GATE}
     assert len(gated) == 50
@@ -2207,10 +2288,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The 50 driver-gated entries for r5 (order = gate membership; see the
 # rotation rationale in queries() and COVERAGE.md "Driver-gate rotation").
 _R5_GATE = [
-    # kept veterans (9): flagship trio + CC + vocab/mm first-rounders
-    # (2nd round) + the dedup/ANN scale heads (ev_topk_users and
-    # ts_pii_redact, 2+ green rounds each, rotated out for the two
-    # newest r5 queries)
+    # kept veterans (7): flagship trio + CC + vocab/mm first-rounders
+    # (2nd round). ev_topk_users/ts_pii_redact (2+ greens) yielded slots
+    # to dd_line_dedup/ts_dsir_weights; the dedup scale heads
+    # dd_text_neardup_scalable (2 greens) / dd_embedding_neardup_scalable
+    # (3 greens) yielded theirs to the link-graph family
     "kg_mentions_docfreq",
     "kg_pair_counts",
     "kg_triples_scored",
@@ -2218,8 +2300,6 @@ _R5_GATE = [
     "ts_vocab_encode",
     "mm_metadata",
     "mm_image_features",
-    "dd_text_neardup_scalable",
-    "dd_embedding_neardup_scalable",
     # first driver round: the 18 from VERDICT r4 #1
     "ts_pack_sequences",
     "ts_stratified_sample",
@@ -2263,6 +2343,8 @@ _R5_GATE = [
     "src_warc_sink",
     "dd_line_dedup",
     "ts_dsir_weights",
+    "kg_host_graph",
+    "kg_host_rank",
 ]
 
 
@@ -4225,6 +4307,59 @@ def oracle_sql() -> dict[str, str]:
                    AS log_w
           FROM occ o JOIN lr l USING (bucket)
           GROUP BY 1
+        """,
+        # the oracle NEVER parses HTML: it rebuilds the host edges from the
+        # page-construction rule alone (doc i on site i%20 links absolute to
+        # site (7i+3)%20, scheme-relative to site (13i+5)%20, relative to
+        # itself; mailto dropped; site19 pages emit no anchors), so the
+        # Spark side's regexp link extraction must be exact
+        "kg_host_graph": _HOST_EDGES_SQL + """
+          SELECT src_host, dst_host, COUNT(*) AS n_links
+          FROM edges GROUP BY 1, 2
+        """,
+        # distinct host edges -> two unrolled exact-sums PageRank
+        # iterations (the kg_pagerank2 decimal recipe verbatim)
+        "kg_host_rank": _HOST_EDGES_SQL + """,
+          e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM edges),
+          verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+          nn AS (SELECT COUNT(*) AS n FROM verts),
+          outdeg AS (SELECT src, COUNT(*) AS out FROM e GROUP BY src),
+          r0 AS (SELECT v.id, 1.0 / nn.n AS rank FROM verts v CROSS JOIN nn),
+          c1 AS (
+            SELECT e.dst AS id,
+                   CAST(SUM(CAST(r.rank / o.out AS DECIMAL(28, 12))) AS DOUBLE) AS inflow
+            FROM r0 r JOIN outdeg o ON r.id = o.src JOIN e ON e.src = o.src
+            GROUP BY e.dst
+          ),
+          d1 AS (
+            SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(28, 12))) AS DOUBLE), 0.0) AS d
+            FROM r0 r LEFT JOIN outdeg o ON r.id = o.src WHERE o.src IS NULL
+          ),
+          r1 AS (
+            SELECT v.id,
+                   (1.0 - 0.85) / nn.n
+                     + 0.85 * (COALESCE(c.inflow, 0.0) + d1.d / nn.n) AS rank
+            FROM verts v CROSS JOIN nn CROSS JOIN d1
+            LEFT JOIN c1 c ON c.id = v.id
+          ),
+          c2 AS (
+            SELECT e.dst AS id,
+                   CAST(SUM(CAST(r.rank / o.out AS DECIMAL(28, 12))) AS DOUBLE) AS inflow
+            FROM r1 r JOIN outdeg o ON r.id = o.src JOIN e ON e.src = o.src
+            GROUP BY e.dst
+          ),
+          d2 AS (
+            SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(28, 12))) AS DOUBLE), 0.0) AS d
+            FROM r1 r LEFT JOIN outdeg o ON r.id = o.src WHERE o.src IS NULL
+          ),
+          r2 AS (
+            SELECT v.id,
+                   (1.0 - 0.85) / nn.n
+                     + 0.85 * (COALESCE(c.inflow, 0.0) + d2.d / nn.n) AS rank
+            FROM verts v CROSS JOIN nn CROSS JOIN d2
+            LEFT JOIN c2 c ON c.id = v.id
+          )
+          SELECT id AS host, ROUND(ROUND(rank, 9), 6) AS rank FROM r2
         """,
     }
 

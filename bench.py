@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "src_warc_sink",
     "dd_line_dedup",
     "ts_dsir_weights",
+    "kg_host_graph",
+    "kg_host_rank",
 ]
 
 

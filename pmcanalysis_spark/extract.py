@@ -82,3 +82,43 @@ def extract_text_py(html: bytes | str | None) -> str:
 def extract_text_udf(html: pd.Series) -> pd.Series:
     """Arrow-batched wrapper; one Python→JVM crossing per batch, not per row."""
     return html.map(extract_text_py)
+
+
+def extract_links(pages, url_col: str = "url", html_col: str = "html"):
+    """(url, href, anchor) — one row per <a href="..."> tag, in document
+    order. Pure JVM column algebra (regexp_extract_all → explode →
+    per-element regexp_extract): link extraction is the highest-volume
+    parse in a crawl pipeline (every page, every tag) and must not pay a
+    Python crossing — unlike the boilerplate text extraction above, which
+    needs the stateful HTML parser, href harvesting is regular enough for
+    Tungsten. The anchor is the tag's inner text with nested markup
+    stripped and whitespace collapsed. Tags without an href (or with an
+    empty one) yield no row. Reference analog: the crawl-side link intent
+    behind the reference's HTML handling (Dermo2Monarch.groovy extract
+    chain); the consumer is `operators/graph.host_graph` → `pagerank` —
+    the RefinedWeb/CCNet host-reputation signal.
+
+    At 100 TB: narrow select + explode, zero shuffle, zero Python — the
+    whole operator fuses into the page scan's WholeStageCodegen span
+    (plan-contract-tested)."""
+    from pyspark.sql import functions as F
+
+    html = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(html, F.lit(r'<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'), 0)
+    return (
+        pages.select(F.col(url_col).alias("url"), F.explode(tags).alias("_tag"))
+        .select(
+            "url",
+            F.regexp_extract("_tag", r'href="([^"]*)"', 1).alias("href"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_extract("_tag", r">(.*)</a>$", 1), r"<[^>]*>", " "
+                    ),
+                    r"\s+",
+                    " ",
+                )
+            ).alias("anchor"),
+        )
+        .filter(F.col("href") != "")
+    )

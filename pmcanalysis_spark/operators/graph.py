@@ -187,3 +187,43 @@ def pagerank(
         if delta is not None and delta <= tol:
             break
     return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+def host_graph(
+    links: DataFrame,
+    url_col: str = "url",
+    href_col: str = "href",
+) -> DataFrame:
+    """(src_host, dst_host, n_links) — the host-level web graph from a
+    page-level link table (`extract.extract_links` output). Resolution
+    rule (portable, replayed verbatim by the oracle):
+
+    - absolute http(s) href → its own lowercased authority;
+    - any other scheme (mailto:, javascript:, ftp:, ...) → dropped;
+    - scheme-relative (//host/...) → that host;
+    - path-relative → the SOURCE page's host (a self-edge when a page
+      links within its own site — kept: self-reputation is real signal).
+
+    This is the edge table the RefinedWeb/CCNet host-reputation signal
+    (PageRank / in-degree over hosts) runs on. At 100 TB the page-level
+    link table is ~10^13 rows but hosts are ~10^8, so the ONE exchange
+    here (groupBy on the host pair, map-side partials) is also the 10^5×
+    compression step — everything downstream (pagerank, degree) works on
+    the small graph. Head hosts (everyone links wikipedia) are absorbed
+    by the partial aggregation: per-partition one cell per (src,dst)."""
+    host_of = lambda c: F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    href = F.col(href_col)
+    src_host = host_of(F.col(url_col))
+    dst_host = (
+        F.when(href.rlike(r"^https?://"), host_of(href))
+        .when(href.rlike(r"^//"), F.lower(F.regexp_extract(href, r"^//([^/?#]+)", 1)))
+        .when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), F.lit(None))
+        .otherwise(src_host)
+    )
+    return (
+        links.select(src_host.alias("src_host"), dst_host.alias("dst_host"))
+        .filter(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
+        .filter(F.col("src_host") != "")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )

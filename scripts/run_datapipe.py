@@ -5,6 +5,8 @@ intent — assemble a clean, deduplicated, decontaminated, mixed and sharded
 training set from a raw document table).
 
     documents(doc_id, text, lang, source)
+      → host-rank gate     (optional, WARC mode: link-graph host PageRank
+                            over the crawl, bottom-fraction hosts dropped)
       → keep_filter        (C4/Gopher keep decisions, reasons recorded)
       → line_dedup         (optional: corpus-common boilerplate lines cut)
       → exact_dedup        (md5 clusters, canonical-id survivors)
@@ -66,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
                          "every previously admitted batch (without their "
                          "text), survivors' signatures are committed as a "
                          "new store version")
+    ap.add_argument("--host-rank-drop-frac", type=float, default=None,
+                    help="WARC mode only: link-graph host PageRank over the "
+                         "crawl itself; docs from hosts in this bottom rank "
+                         "fraction are dropped (RefinedWeb-style host "
+                         "reputation gate)")
     ap.add_argument("--line-dedup", action="store_true",
                     help="strip corpus-common lines (boilerplate appearing "
                          "in >= --line-min-docs distinct docs) from every "
@@ -144,6 +151,35 @@ def main(argv: list[str] | None = None) -> int:
             ),
             "doc_id",
         )
+        # optional host-reputation gate (WARC only — needs URLs + raw
+        # bodies): link graph over the crawl's own pages → host PageRank →
+        # drop docs whose host sits in the bottom --host-rank-drop-frac.
+        # Hosts absent from the graph (no in/out links) are kept: unknown
+        # is not low-reputation.
+        if args.host_rank_drop_frac:
+            from pmcanalysis_spark.extract import extract_links
+            from pmcanalysis_spark.operators.graph import host_graph, pagerank
+
+            links = extract_links(
+                recs.select(F.col("target_uri").alias("url"), F.col("body").alias("html"))
+            )
+            hg = host_graph(links)
+            pr = pagerank(
+                hg.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")),
+                max_iter=10,
+            )
+            thr = pr.agg(
+                F.percentile_approx("rank", args.host_rank_drop_frac).alias("t")
+            ).first()["t"]
+            low = pr.filter(F.col("rank") <= thr).select(
+                F.col("id").alias("source")
+            )
+            n_before = docs.count()
+            docs = docs.join(F.broadcast(low), "source", "left_anti")
+            summary["host_rank"] = {
+                "threshold": thr,
+                "dropped": n_before - docs.count(),
+            }
     else:
         docs = spark.read.parquet(args.input)
     fp_base = f"input={args.input}|seed={args.seed}"

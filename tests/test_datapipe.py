@@ -245,3 +245,40 @@ def test_datapipe_line_dedup_and_dsir_stages(spark, tmp_path, capsys):
     n_final = res["final_docs"]
     assert n_final <= n_scored
     assert n_final >= int(0.3 * n_scored)
+
+
+def test_datapipe_warc_host_rank_gate(spark, tmp_path, capsys):
+    """--host-rank-drop-frac (WARC mode): link-graph PageRank over the
+    crawl itself — spam.example.org links out but nothing links to it, so
+    its pages are dropped before the keep gate; hub/mid pages survive."""
+    from pmcanalysis_spark.sources.warc import build_warc_record
+
+    def page(host, i, links_to):
+        body = (
+            f"<p>the data of crawl and page number {i} is here that for now</p>"
+            + "".join(f'<a href="https://{h}/">see {h}</a>' for h in links_to)
+        )
+        return build_warc_record(
+            f"https://{host}/p/{i}", "2024-01-01T00:00:00Z", body.encode()
+        )
+
+    blob = b"".join(
+        [page("hub.example.org", i, ["mid.example.org"]) for i in range(4)]
+        + [page("mid.example.org", i, ["hub.example.org"]) for i in range(4)]
+        + [page("spam.example.org", i, ["hub.example.org"]) for i in range(3)]
+    )
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    (warc_dir / "crawl.warc").write_bytes(blob)
+
+    res = _run(
+        ["--input", str(warc_dir), "--input-format", "warc",
+         "--output", str(tmp_path / "out"),
+         "--host-rank-drop-frac", "0.2", "--min-tokens", "5", "--cores", "4"],
+        capsys,
+    )
+    assert res["stages"]["host_rank"]["dropped"] == 3
+    assert res["stages"]["keep"]["rows"] == 8
+
+    keep = spark.read.parquet(os.path.join(tmp_path / "out", "keep", "data"))
+    assert keep.count() == 8

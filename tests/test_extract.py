@@ -38,3 +38,40 @@ def test_udf_bytes_match_golden_column(spark):
     )
     for r in got:
         assert r["extracted"] == r["text"], r["url"]
+
+
+def test_extract_links_tags_anchors_and_edge_cases(spark):
+    """href harvesting: document order, nested-markup-stripped anchors,
+    empty/missing hrefs dropped, multiple links per page, attributes
+    after href tolerated."""
+    from pmcanalysis_spark.extract import extract_links
+
+    html = (
+        '<html><body>'
+        '<a href="https://a.example.org/x" class="nav">First <b>Bold</b> link</a>'
+        '<p>noise</p>'
+        '<a class="x" href="/rel/path">rel  spaced</a>'
+        '<a href="">empty</a>'
+        '<a name="no-href">anchor-less</a>'
+        '<a href="mailto:x@y.z">mail me</a>'
+        '</body></html>'
+    )
+    df = spark.createDataFrame([("u1", html)], "url string, html string")
+    rows = extract_links(df).collect()
+    assert [(r.href, r.anchor) for r in rows] == [
+        ("https://a.example.org/x", "First Bold link"),
+        ("/rel/path", "rel spaced"),
+        ("mailto:x@y.z", "mail me"),
+    ]
+    assert all(r.url == "u1" for r in rows)
+
+
+def test_extract_links_binary_html_and_no_links(spark):
+    from pmcanalysis_spark.extract import extract_links
+
+    df = spark.createDataFrame(
+        [("u1", b'<a href="https://h.example.org/">z</a>'), ("u2", b"<p>none</p>")],
+        "url string, html binary",
+    )
+    rows = extract_links(df).collect()
+    assert [(r.url, r.href) for r in rows] == [("u1", "https://h.example.org/")]

@@ -114,3 +114,52 @@ def test_pagerank_exact_sums_matches_default(spark):
     for k in base:
         assert abs(base[k] - exact[k]) < 1e-9, (k, base[k], exact[k])
     assert abs(sum(exact.values()) - 1.0) < 1e-6
+
+
+def test_host_graph_resolution_rules(spark):
+    """absolute -> authority, scheme-relative -> host, other scheme ->
+    dropped, path-relative -> source host (self-edge), hosts lowercased,
+    parallel links counted."""
+    from pmcanalysis_spark.operators.graph import host_graph
+
+    links = spark.createDataFrame(
+        [
+            ("https://Src.Example.org/p/1", "https://DST.example.org/x", "a"),
+            ("https://src.example.org/p/2", "https://dst.example.org/y", "b"),
+            ("https://src.example.org/p/1", "//proto.example.org/z", "c"),
+            ("https://src.example.org/p/1", "/local/page", "d"),
+            ("https://src.example.org/p/1", "mailto:x@y.z", "e"),
+            ("https://src.example.org/p/1", "javascript:void(0)", "f"),
+            ("https://src.example.org/p/1", "ftp://files.example.org/g", "g"),
+        ],
+        "url string, href string, anchor string",
+    )
+    got = {
+        (r.src_host, r.dst_host): r.n_links for r in host_graph(links).collect()
+    }
+    assert got == {
+        ("src.example.org", "dst.example.org"): 2,
+        ("src.example.org", "proto.example.org"): 1,
+        ("src.example.org", "src.example.org"): 1,
+    }
+
+
+def test_extract_links_plan_stays_jvm_side_and_host_graph_partial_agg(spark):
+    """extract_links must fuse into the page scan: zero Exchange, zero
+    Python crossing (the whole point vs the pandas-UDF text extractor);
+    host_graph's one exchange carries a map-side partial count."""
+    from pmcanalysis_spark.extract import extract_links
+    from pmcanalysis_spark.operators.graph import host_graph
+
+    pages = spark.createDataFrame(
+        [(f"https://s{i % 3}.example.org/p/{i}",
+          f'<a href="https://s{(i + 1) % 3}.example.org/">n</a>')
+         for i in range(30)],
+        "url string, html string",
+    )
+    links = extract_links(pages)
+    lp = links._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in lp
+    assert "EvalPython" not in lp and "MapInPandas" not in lp
+    hp = host_graph(links)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in hp and "CartesianProduct" not in hp
