@@ -1353,3 +1353,63 @@ def line_dedup(
         )
         .select("doc_id", "n_lines", "n_removed", "text")
     )
+
+
+def apply_line_cut(
+    docs: DataFrame,
+    common_lines: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    key_col: str = "line_key",
+) -> DataFrame:
+    """The CUT half of line dedup, decoupled from detection: strip every
+    line whose normalized form appears in ``common_lines`` (one ``key_col``
+    row per boilerplate line — `line_dedup`'s common set, or the emitted
+    table of `streaming/boilerplate_stream.streaming_common_lines`).
+    Same output contract as ``line_dedup``: (doc_id, n_lines, n_removed,
+    text), survivors rejoined in original order, whitespace-only lines
+    dropped from counting and output.
+
+    Detect-once / cut-many is the operational shape at crawl scale: the
+    common-line set is a deploy artifact (refreshed daily by the stream or
+    a batch scan), and each ingest batch pays ONE broadcast hash join
+    against it (the set is ~distinct boilerplate lines — MBs) plus the
+    unique-key per-doc rebuild; the corpus-wide distinct/count stage of
+    `line_dedup` is not re-run per batch. Zero Python UDFs."""
+    occ = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+        )
+        .withColumn("key", F.lower(F.trim(F.col("line"))))
+        .filter(F.col("key") != "")
+    )
+    common = F.broadcast(
+        common_lines.select(F.col(key_col).alias("key")).distinct()
+    ).withColumn("_common", F.lit(True))
+    return (
+        occ.join(common, "key", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("_common"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_common").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                line_sep,
+            ).alias("text"),
+        )
+        .select("doc_id", "n_lines", "n_removed", "text")
+    )

@@ -81,3 +81,24 @@ def test_streaming_common_lines_within_doc_repeats_do_not_count(spark, tmp_path)
     # at min_docs=3: NAV reaches 3 distinct docs (1,2,5); COOKIE reaches 3
     # (1,3,5); echo only ever has 2 distinct docs -> never emitted
     assert sorted(got) == sorted([NAV.lower(), COOKIE.lower()])
+
+
+def test_apply_line_cut_consumes_streamed_common_set(spark, tmp_path):
+    """Detect-once / cut-many: the stream's emitted line_key table drives
+    apply_line_cut, and the result equals the one-shot batch line_dedup."""
+    from pmcanalysis_spark.operators.dedup import apply_line_cut
+
+    got = _run_stream(spark, tmp_path)
+    common = spark.createDataFrame([(k,) for k in got], "line_key string")
+    docs = spark.createDataFrame(B0 + B1 + B2, SCHEMA)
+    via_stream = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text)
+        for r in apply_line_cut(docs, common).collect()
+    }
+    via_batch = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text)
+        for r in line_dedup(docs, min_docs=2).collect()
+    }
+    assert via_stream == via_batch
+    plan = apply_line_cut(docs, common)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
