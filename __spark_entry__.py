@@ -1613,6 +1613,38 @@ def q_kg_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_anchor_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text entity linking (r5): doc i's page carries one link to
+    site (3i+1)%20 whose anchor is 'see {LEX[i % |LEX|].name} docs' — the
+    full chain extract_links → resolve_hosts → whole-token lexicon match
+    (the reference's name2id MULTIMAP: every 'spark' anchor yields both
+    OP:0000009 and DS:0000009 edges) → (term_id, dst_host, n_links).
+    The oracle replays the construction arithmetic and the multimap join,
+    never the HTML — the parse and resolution must be exact."""
+    from pmcanalysis_spark.extract import extract_links
+    from pmcanalysis_spark.linking import anchor_entity_links
+    from pmcanalysis_spark.operators.graph import resolve_hosts
+
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    s = lambda e: e.cast("string")
+    names = F.array(*[F.lit(n) for n, _ in LEX])
+    pages = docs.select(
+        F.concat(
+            F.lit("https://site"), s(i % 20), F.lit(".example.org/p/"), s(i)
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="https://site'), s((i * 3 + 1) % 20),
+            F.lit('.example.org/t/'), s(i), F.lit('">see '),
+            F.element_at(names, (i % len(LEX)).cast("int") + 1),
+            F.lit(" docs</a></body></html>"),
+        ).alias("html"),
+    )
+    return anchor_entity_links(
+        resolve_hosts(extract_links(pages)), _lex_df(spark)
+    )
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-occurrence KG (r4): oriented-wedge join,
     each triangle counted exactly once."""
@@ -2279,6 +2311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- heads (2 and 3 green rounds) rotate to 51+ --
         "kg_host_graph": q_kg_host_graph,
         "kg_host_rank": q_kg_host_rank,
+        # -- anchor-text entity linking (r5): gated first-round;
+        # -- ts_vocab_encode (r4 green) rotates to 51+ --
+        "link_anchor_entities": q_link_anchor_entities,
     }
     gated = {k: base[k] for k in _R5_GATE}
     assert len(gated) == 50
@@ -2288,16 +2323,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The 50 driver-gated entries for r5 (order = gate membership; see the
 # rotation rationale in queries() and COVERAGE.md "Driver-gate rotation").
 _R5_GATE = [
-    # kept veterans (7): flagship trio + CC + vocab/mm first-rounders
-    # (2nd round). ev_topk_users/ts_pii_redact (2+ greens) yielded slots
-    # to dd_line_dedup/ts_dsir_weights; the dedup scale heads
-    # dd_text_neardup_scalable (2 greens) / dd_embedding_neardup_scalable
-    # (3 greens) yielded theirs to the link-graph family
+    # kept veterans (6): flagship trio + CC + mm first-rounders (2nd
+    # round). Yielded slots this round: ev_topk_users/ts_pii_redact (2+
+    # greens) -> dd_line_dedup/ts_dsir_weights; dd_text_neardup_scalable
+    # (2 greens) / dd_embedding_neardup_scalable (3 greens) -> the
+    # link-graph family; ts_vocab_encode (r4 green) -> anchor linking
     "kg_mentions_docfreq",
     "kg_pair_counts",
     "kg_triples_scored",
     "kg_connected_components",
-    "ts_vocab_encode",
     "mm_metadata",
     "mm_image_features",
     # first driver round: the 18 from VERDICT r4 #1
@@ -2345,6 +2379,7 @@ _R5_GATE = [
     "ts_dsir_weights",
     "kg_host_graph",
     "kg_host_rank",
+    "link_anchor_entities",
 ]
 
 
@@ -4360,6 +4395,27 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN c2 c ON c.id = v.id
           )
           SELECT id AS host, ROUND(ROUND(rank, 9), 6) AS rank FROM r2
+        """,
+        # construction-rule replay (never parses HTML): doc i's single
+        # anchor names LEX[i % |LEX|], linking to site (3i+1)%20; the
+        # name->id join is the reference's name2id multimap, so 'spark'
+        # anchors fan out to both candidate ids
+        "link_anchor_entities": f"""
+          WITH lex(name, term_id) AS (VALUES {_lex_values()}),
+          slots(i, name) AS (VALUES {
+              ", ".join(f"({i}, '{n}')" for i, (n, _) in enumerate(LEX))
+          }),
+          d AS (
+            SELECT CAST(doc_id % {len(LEX)} AS INT) AS li,
+                   'site' || ((doc_id * 3 + 1) % 20) || '.example.org' AS dst_host
+            FROM documents
+          ),
+          m AS (
+            SELECT l.term_id, d.dst_host
+            FROM d JOIN slots n ON n.i = d.li JOIN lex l ON l.name = n.name
+          )
+          SELECT term_id, dst_host, COUNT(*) AS n_links
+          FROM m GROUP BY 1, 2
         """,
     }
 

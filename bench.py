@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "ts_dsir_weights",
     "kg_host_graph",
     "kg_host_rank",
+    "link_anchor_entities",
 ]
 
 

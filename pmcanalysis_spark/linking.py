@@ -201,3 +201,51 @@ def bm25_scores(
             F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6).alias("bm25"),
         )
     )
+
+
+def anchor_entity_links(
+    resolved_links: DataFrame,
+    lexicon: DataFrame,
+    anchor_col: str = "anchor",
+    host_col: str = "dst_host",
+    name_col: str = "name",
+    id_col: str = "term_id",
+) -> DataFrame:
+    """(term_id, dst_host, n_links) — entity→host edges from anchor text:
+    how often link anchors naming an ontology entity point at each host.
+    The anchor-text KG signal (anchors are human-written entity labels for
+    the page behind the link — the classic wikification prior), composed
+    from `extract.extract_links` → `graph.resolve_hosts` output and the
+    same lexicon the NER trie uses. Matching is whole-token on the
+    normalized anchor (lowercase, whitespace split), and the lexicon is a
+    MULTIMAP exactly like the reference's name2id
+    (ParseMedline3.groovy:284-291): an ambiguous name yields one edge per
+    candidate id.
+
+    Scale shape: the anchor stream (10^13 rows at crawl scale) explodes to
+    tokens and BROADCAST-joins the lexicon (MBs) — the big side never
+    shuffles until the final (term_id, host) count, whose key space is
+    entities × hosts with map-side partials absorbing head entities.
+    Zero Python UDFs."""
+    from pyspark.sql import functions as F
+
+    toks = resolved_links.select(
+        F.col(host_col).alias("dst_host"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(anchor_col)), r"\s+"), lambda t: t != ""
+                )
+            )
+        ).alias("token"),
+    )
+    lex = F.broadcast(
+        lexicon.select(
+            F.lower(F.col(name_col)).alias("token"), F.col(id_col).alias("term_id")
+        ).distinct()
+    )
+    return (
+        toks.join(lex, "token")
+        .groupBy("term_id", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )

@@ -211,7 +211,25 @@ def host_graph(
     compression step — everything downstream (pagerank, degree) works on
     the small graph. Head hosts (everyone links wikipedia) are absorbed
     by the partial aggregation: per-partition one cell per (src,dst)."""
-    host_of = lambda c: F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    return (
+        resolve_hosts(links, url_col, href_col)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def resolve_hosts(
+    links: DataFrame,
+    url_col: str = "url",
+    href_col: str = "href",
+) -> DataFrame:
+    """links + (src_host, dst_host) under `host_graph`'s resolution rule,
+    one row per resolvable link (other-scheme hrefs dropped), all original
+    columns kept — the narrow, shuffle-free building block `host_graph`
+    aggregates and `linking.anchor_entity_links` joins entities onto."""
+    host_of = lambda c: F.lower(
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
     href = F.col(href_col)
     src_host = host_of(F.col(url_col))
     dst_host = (
@@ -221,9 +239,8 @@ def host_graph(
         .otherwise(src_host)
     )
     return (
-        links.select(src_host.alias("src_host"), dst_host.alias("dst_host"))
+        links.withColumn("src_host", src_host)
+        .withColumn("dst_host", dst_host)
         .filter(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
         .filter(F.col("src_host") != "")
-        .groupBy("src_host", "dst_host")
-        .agg(F.count("*").alias("n_links"))
     )

@@ -90,3 +90,49 @@ def test_bm25_scores_reference_formula(spark):
         denom = tf + 1.2 * (1 - 0.75 + 0.75 * dls[d] / avgdl)
         exp[(d, t)] = (tf, round(idf * tf * 2.2 / denom, 6))
     assert got == exp
+
+
+def test_anchor_entity_links_multimap_and_token_matching(spark):
+    """Whole-token matching on normalized anchors; ambiguous names yield
+    one edge per candidate id (name2id multimap); repeated tokens inside
+    ONE anchor count once (edges count links, not token occurrences)."""
+    from pmcanalysis_spark.linking import anchor_entity_links
+
+    lex = spark.createDataFrame(
+        [("join", "OP:2"), ("spark", "OP:9"), ("spark", "DS:9")],
+        "name string, term_id string",
+    )
+    resolved = spark.createDataFrame(
+        [
+            ("a.org", "b.org", "Fast JOIN here"),      # case-normalized
+            ("a.org", "b.org", "join join twice"),      # once per link
+            ("a.org", "c.org", "the Spark engine"),     # multimap: 2 ids
+            ("a.org", "c.org", "joinless prose"),       # substring != token
+        ],
+        "src_host string, dst_host string, anchor string",
+    )
+    got = {
+        (r.term_id, r.dst_host): r.n_links
+        for r in anchor_entity_links(resolved, lex).collect()
+    }
+    assert got == {
+        ("OP:2", "b.org"): 2,
+        ("OP:9", "c.org"): 1,
+        ("DS:9", "c.org"): 1,
+    }
+
+
+def test_anchor_entity_links_broadcasts_lexicon(spark):
+    from pmcanalysis_spark.linking import anchor_entity_links
+
+    lex = spark.createDataFrame([("join", "OP:2")], "name string, term_id string")
+    resolved = spark.createDataFrame(
+        [("a.org", "b.org", f"join {i}") for i in range(40)],
+        "src_host string, dst_host string, anchor string",
+    )
+    plan = (
+        anchor_entity_links(resolved, lex)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "partial_count" in plan
