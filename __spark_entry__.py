@@ -1613,6 +1613,22 @@ def q_kg_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic host centrality (r5): radius-2 harmonic centrality over
+    the host graph — THE published Common Crawl host-ranking signal
+    (their host ranks are harmonic centrality, not PageRank). Self-edges
+    (relative links) contribute nothing by definition; site19 keeps
+    rank > 0 (it has in-links) while emitting none."""
+    from pmcanalysis_spark.extract import extract_links
+    from pmcanalysis_spark.operators.graph import harmonic_centrality, host_graph
+
+    e = host_graph(extract_links(_link_pages(spark, sf_dir))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    hc = harmonic_centrality(e, max_hops=2)
+    return hc.select(F.col("id").alias("host"), "rank")
+
+
 def q_link_anchor_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text entity linking (r5): doc i's page carries one link to
     site (3i+1)%20 whose anchor is 'see {LEX[i % |LEX|].name} docs' — the
@@ -2314,6 +2330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- anchor-text entity linking (r5): gated first-round;
         # -- ts_vocab_encode (r4 green) rotates to 51+ --
         "link_anchor_entities": q_link_anchor_entities,
+        # -- harmonic host centrality (r5): gated first-round;
+        # -- mm_metadata (r4 green) rotates to 51+ --
+        "kg_host_harmonic": q_kg_host_harmonic,
     }
     gated = {k: base[k] for k in _R5_GATE}
     assert len(gated) == 50
@@ -2323,16 +2342,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The 50 driver-gated entries for r5 (order = gate membership; see the
 # rotation rationale in queries() and COVERAGE.md "Driver-gate rotation").
 _R5_GATE = [
-    # kept veterans (6): flagship trio + CC + mm first-rounders (2nd
+    # kept veterans (5): flagship trio + CC + mm_image_features (2nd
     # round). Yielded slots this round: ev_topk_users/ts_pii_redact (2+
     # greens) -> dd_line_dedup/ts_dsir_weights; dd_text_neardup_scalable
     # (2 greens) / dd_embedding_neardup_scalable (3 greens) -> the
-    # link-graph family; ts_vocab_encode (r4 green) -> anchor linking
+    # link-graph family; ts_vocab_encode (r4 green) -> anchor linking;
+    # mm_metadata (r4 green) -> harmonic host centrality
     "kg_mentions_docfreq",
     "kg_pair_counts",
     "kg_triples_scored",
     "kg_connected_components",
-    "mm_metadata",
     "mm_image_features",
     # first driver round: the 18 from VERDICT r4 #1
     "ts_pack_sequences",
@@ -2380,6 +2399,7 @@ _R5_GATE = [
     "kg_host_graph",
     "kg_host_rank",
     "link_anchor_entities",
+    "kg_host_harmonic",
 ]
 
 
@@ -4416,6 +4436,34 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT term_id, dst_host, COUNT(*) AS n_links
           FROM m GROUP BY 1, 2
+        """,
+        # radius-2 harmonic centrality over the host edges: d=1 pairs are
+        # the distinct non-self edges, d=2 pairs the 2-hop closures not
+        # already at d=1; rank = Σ ROUND(1/d, 9) through DECIMAL(28,9);
+        # unreached vertices rank 0
+        "kg_host_harmonic": _HOST_EDGES_SQL + """,
+          e AS (
+            SELECT DISTINCT src_host AS u, dst_host AS v FROM edges
+            WHERE src_host <> dst_host
+          ),
+          verts AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+          d2 AS (
+            SELECT DISTINCT a.u, b.v
+            FROM e a JOIN e b ON a.v = b.u
+            WHERE a.u <> b.v
+              AND NOT EXISTS (SELECT 1 FROM e x WHERE x.u = a.u AND x.v = b.v)
+          ),
+          pairs AS (
+            SELECT u, v, 1 AS d FROM e
+            UNION ALL SELECT u, v, 2 AS d FROM d2
+          ),
+          r AS (
+            SELECT v, ROUND(CAST(SUM(CAST(ROUND(1.0 / d, 9) AS DECIMAL(28, 9)))
+                                 AS DOUBLE), 6) AS rank
+            FROM pairs GROUP BY v
+          )
+          SELECT verts.id AS host, COALESCE(r.rank, 0.0) AS rank
+          FROM verts LEFT JOIN r ON r.v = verts.id
         """,
     }
 

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "kg_host_graph",
     "kg_host_rank",
     "link_anchor_entities",
+    "kg_host_harmonic",
 ]
 
 

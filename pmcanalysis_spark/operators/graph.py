@@ -244,3 +244,69 @@ def resolve_hosts(
         .filter(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
         .filter(F.col("src_host") != "")
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    max_hops: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, rank): bounded-radius harmonic centrality over the DIRECTED
+    edge table — rank(v) = Σ_{u != v, d(u→v) <= max_hops} 1/d(u→v). THE
+    published Common Crawl host-ranking signal (their host-level ranks are
+    harmonic centrality, not PageRank); the radius bound is how it stays
+    computable: exact harmonic centrality needs all-pairs distances, while
+    nearly all of the mass sits in the first few hops.
+
+    Multi-source frontier BFS as DataFrame joins: reach_d =
+    (reach_{d-1} ⋈ edges) minus already-seen pairs; self-loops dropped
+    (d(v,v) = 0 contributes nothing). Per-distance 1/d terms are ROUND(9)
+    and summed through DECIMAL(28,9) (the repo float recipe) so any hop
+    count replays value-exactly cross-engine; unreached vertices emit
+    rank 0. Intended input is a COMPRESSED graph (host_graph output or
+    the co-occurrence KG): pair materialization is bounded by
+    |V| × avg |ball(max_hops)| — on the host graph that is the point, on
+    a raw page graph it would not be, and that trade is documented here
+    rather than hidden."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    verts = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    seen = e
+    frontier = e
+    parts = [e.withColumn("d", F.lit(1))]
+    for d in range(2, max_hops + 1):
+        step = (
+            frontier.alias("f")
+            .join(e.alias("g"), F.col("f.v") == F.col("g.u"))
+            .select(F.col("f.u").alias("u"), F.col("g.v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .join(seen, ["u", "v"], "left_anti")
+            .persist()
+        )
+        parts.append(step.withColumn("d", F.lit(d)))
+        seen = seen.unionByName(step)
+        frontier = step
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    ranks = pairs.groupBy(F.col("v").alias("id")).agg(
+        F.round(
+            F.sum(
+                F.round(F.lit(1.0) / F.col("d"), 9).cast("decimal(28,9)")
+            ).cast("double"),
+            6,
+        ).alias("rank")
+    )
+    return verts.join(ranks, "id", "left").select(
+        "id", F.coalesce("rank", F.lit(0.0)).alias("rank")
+    )

@@ -774,3 +774,21 @@ def test_line_dedup_min_docs_is_distinct_doc_count(spark):
     got = {r.doc_id: r for r in line_dedup(docs, min_docs=2).collect()}
     assert got[1].text == "echo\necho\necho\nunique body"
     assert got[1].n_removed == 0
+
+
+def test_line_dedup_partition_invariance(spark):
+    """Identical output under any input partitioning (the property the
+    driver-gate hash compare relies on at every SF)."""
+    from pmcanalysis_spark.operators.dedup import line_dedup
+
+    rows = [
+        (i, f"shared header\nbody {i % 7} text\nshared footer") for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    one = {
+        tuple(r) for r in line_dedup(docs.coalesce(1), min_docs=2).collect()
+    }
+    many = {
+        tuple(r) for r in line_dedup(docs.repartition(13), min_docs=2).collect()
+    }
+    assert one == many

@@ -163,3 +163,41 @@ def test_extract_links_plan_stays_jvm_side_and_host_graph_partial_agg(spark):
     assert "EvalPython" not in lp and "MapInPandas" not in lp
     hp = host_graph(links)._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in hp and "CartesianProduct" not in hp
+
+
+def test_harmonic_centrality_hand_computed(spark):
+    """Path a->b->c->d with a shortcut a->c, radius 2:
+    d(a,b)=1; d(a,c)=1 (shortcut beats the 2-hop path); d(b,c)=1;
+    d(b,d)=2; d(a,d)=2; d(c,d)=1. rank(b)=1, rank(c)=2, rank(d)=2,
+    rank(a)=0 (no in-edges). Self-loop on a ignored."""
+    from pmcanalysis_spark.operators.graph import harmonic_centrality
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("a", "a")],
+        "src string, dst string",
+    )
+    got = {r.id: r.rank for r in harmonic_centrality(e, max_hops=2).collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 2.0}
+
+
+def test_harmonic_centrality_radius_and_dedup(spark):
+    """A 2-hop pair reachable two ways counts ONCE; radius 3 adds 1/3
+    terms through the decimal recipe (cycle of 4)."""
+    from pmcanalysis_spark.operators.graph import harmonic_centrality
+
+    # diamond: a->b->d, a->c->d  (d(a,d)=2, one contribution)
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {r.id: r.rank for r in harmonic_centrality(e, max_hops=2).collect()}
+    assert got["d"] == 1.0 + 1.0 + 0.5  # from b(1), c(1), a(2) once
+
+    # 4-cycle at radius 3: every vertex sees the other three at d=1,2,3
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    got3 = {r.id: r.rank for r in harmonic_centrality(cyc, max_hops=3).collect()}
+    expect = round(1.0 + 0.5 + round(1.0 / 3, 9), 6)
+    assert set(got3.values()) == {expect}

@@ -612,3 +612,22 @@ def test_dsir_weights_ranks_in_domain_higher(spark):
     bio_w = [r.log_w for r in got if r.doc_id < 100]
     web_w = [r.log_w for r in got if r.doc_id >= 100]
     assert min(bio_w) > max(web_w)
+
+
+def test_dsir_weights_partition_invariance(spark):
+    from pmcanalysis_spark.operators.textstats import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 11} beta w{(i * 3) % 11} gamma") for i in range(60)],
+        "doc_id long, text string",
+    )
+    tgt = docs.filter("doc_id % 5 = 0")
+    one = {
+        tuple(r)
+        for r in dsir_weights(docs.coalesce(1), tgt, n_buckets=64).collect()
+    }
+    many = {
+        tuple(r)
+        for r in dsir_weights(docs.repartition(13), tgt, n_buckets=64).collect()
+    }
+    assert one == many
