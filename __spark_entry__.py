@@ -1774,6 +1774,20 @@ def q_dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dd_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-grain decontamination (r5): every corpus vector's max
+    ROUND(6) cosine against the eval set (vec_id<50 of the augmented
+    corpus) — the planted +100000 scaled twins are paraphrase-shaped
+    leakage (no shared surface form, cosine 0.98+) and must flag; the
+    numpy path is one mapInPandas matmul against the broadcast eval
+    matrix, no shuffle at all."""
+    from pmcanalysis_spark.operators.dedup import semantic_decontaminate
+
+    aug = _aug_embeddings(spark, sf_dir)
+    ev = aug.filter(F.col("vec_id") < 50)
+    return semantic_decontaminate(aug, ev, threshold=0.95)
+
+
 def q_ts_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global epoch shuffle (r5): the training-order
     manifest — global rank under ORDER BY (md5 shuffle key, doc_id),
@@ -2333,6 +2347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- harmonic host centrality (r5): gated first-round;
         # -- mm_metadata (r4 green) rotates to 51+ --
         "kg_host_harmonic": q_kg_host_harmonic,
+        # -- embedding-grain decontamination (r5): gated first-round;
+        # -- mm_image_features (r4 green) rotates to 51+ --
+        "dd_semantic_decontam": q_dd_semantic_decontam,
     }
     gated = {k: base[k] for k in _R5_GATE}
     assert len(gated) == 50
@@ -2342,17 +2359,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The 50 driver-gated entries for r5 (order = gate membership; see the
 # rotation rationale in queries() and COVERAGE.md "Driver-gate rotation").
 _R5_GATE = [
-    # kept veterans (5): flagship trio + CC + mm_image_features (2nd
-    # round). Yielded slots this round: ev_topk_users/ts_pii_redact (2+
-    # greens) -> dd_line_dedup/ts_dsir_weights; dd_text_neardup_scalable
-    # (2 greens) / dd_embedding_neardup_scalable (3 greens) -> the
-    # link-graph family; ts_vocab_encode (r4 green) -> anchor linking;
-    # mm_metadata (r4 green) -> harmonic host centrality
+    # kept veterans (4): the flagship trio + connected components (the
+    # engine's identity anchors). Yielded slots this round:
+    # ev_topk_users/ts_pii_redact (2+ greens) -> dd_line_dedup/
+    # ts_dsir_weights; dd_text_neardup_scalable (2 greens) /
+    # dd_embedding_neardup_scalable (3 greens) -> the link-graph family;
+    # ts_vocab_encode (r4 green) -> anchor linking; mm_metadata (r4
+    # green) -> harmonic host centrality; mm_image_features (r4 green)
+    # -> embedding-grain decontamination
     "kg_mentions_docfreq",
     "kg_pair_counts",
     "kg_triples_scored",
     "kg_connected_components",
-    "mm_image_features",
     # first driver round: the 18 from VERDICT r4 #1
     "ts_pack_sequences",
     "ts_stratified_sample",
@@ -2400,6 +2418,7 @@ _R5_GATE = [
     "kg_host_rank",
     "link_anchor_entities",
     "kg_host_harmonic",
+    "dd_semantic_decontam",
 ]
 
 
@@ -4464,6 +4483,33 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT verts.id AS host, COALESCE(r.rank, 0.0) AS rank
           FROM verts LEFT JOIN r ON r.v = verts.id
+        """,
+        # same augmented corpus as dd_semdedup; eval = vec_id < 50; each
+        # pairwise cosine ROUND(6) BEFORE the per-item max (the module's
+        # ANN recipe), so the flag replays value-exactly
+        "dd_semantic_decontam": """
+          WITH base AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+          ),
+          v AS (
+            SELECT vec_id, vec FROM base
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   list_prepend(vec[1] * 1.2, vec[2:]) AS vec
+            FROM base WHERE vec_id < 50
+          ),
+          ev AS (SELECT vec FROM v WHERE vec_id < 50),
+          sims AS (
+            SELECT a.vec_id,
+                   ROUND(list_dot_product(a.vec, e.vec)
+                         / (sqrt(list_dot_product(a.vec, a.vec))
+                            * sqrt(list_dot_product(e.vec, e.vec))), 6) AS c
+            FROM v a CROSS JOIN ev e
+          )
+          SELECT vec_id, MAX(c) AS max_sim, MAX(c) >= 0.95 AS contaminated
+          FROM sims GROUP BY 1
         """,
     }
 

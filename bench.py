@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "kg_host_rank",
     "link_anchor_entities",
     "kg_host_harmonic",
+    "dd_semantic_decontam",
 ]
 
 

@@ -1413,3 +1413,92 @@ def apply_line_cut(
         )
         .select("doc_id", "n_lines", "n_removed", "text")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    threshold: float = 0.95,
+    impl: str = "numpy",
+) -> DataFrame:
+    """(vec_id, max_sim, contaminated) — embedding-grain benchmark
+    decontamination: flag every corpus item whose embedding cosine to ANY
+    eval/benchmark embedding reaches ``threshold``. The semantic
+    complement of the n-gram `decontaminate` (paraphrased benchmark
+    leakage shares no 8-token window but does share an embedding
+    neighborhood — the FineWeb-era check).
+
+    Cross-engine exactness: each pairwise cosine is ROUND(6) BEFORE the
+    per-item max on both engines, the module's ANN recipe.
+
+    impl='numpy' (default, the scale path): the eval matrix is a deploy
+    artifact (benchmarks are MBs) collected once and closed over ONE
+    mapInPandas — per corpus Arrow batch a single (b × m) matmul and a
+    row max; the 100 TB side is ONE pass, no shuffle at all (the output
+    is per-item, no aggregation needed). impl='sql': broadcast eval cross
+    join + groupBy(id) max — the JVM-only twin the parity test pins."""
+    if impl == "numpy":
+        import numpy as np
+        import pandas as pd
+
+        erows = (
+            eval_vecs.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            )
+            .orderBy("id")
+            .collect()
+        )
+        E = [list(r["vec"]) for r in erows]
+
+        def part(batches):
+            Em = np.asarray(E, dtype="float64")
+            en = np.sqrt((Em * Em).sum(axis=1))
+            en[en == 0.0] = 1.0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.vstack(pdf["vec"].to_numpy())
+                vn = np.sqrt((V * V).sum(axis=1))
+                vn[vn == 0.0] = 1.0
+                if len(Em):
+                    S = np.round((V @ Em.T) / np.outer(vn, en), 6)
+                    mx = S.max(axis=1)
+                else:
+                    mx = np.full(len(V), float("-inf"))
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["id"].astype("int64"),
+                        "max_sim": mx,
+                        "contaminated": mx >= threshold,
+                    }
+                )
+
+        return corpus.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ).mapInPandas(part, "vec_id long, max_sim double, contaminated boolean")
+
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda a: F.sqrt(dot(a, a))
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    e = F.broadcast(
+        eval_vecs.select(F.col(vec_col).cast("array<double>").alias("e"))
+    )
+    sims = c.crossJoin(e).select(
+        "vec_id",
+        F.round(
+            dot(F.col("v"), F.col("e")) / (norm(F.col("v")) * norm(F.col("e"))), 6
+        ).alias("c"),
+    )
+    return sims.groupBy("vec_id").agg(
+        F.max("c").alias("max_sim"),
+        (F.max("c") >= F.lit(threshold)).alias("contaminated"),
+    )

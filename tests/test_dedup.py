@@ -792,3 +792,33 @@ def test_line_dedup_partition_invariance(spark):
         tuple(r) for r in line_dedup(docs.repartition(13), min_docs=2).collect()
     }
     assert one == many
+
+
+def test_semantic_decontaminate_flags_planted_paraphrases(spark):
+    """An eval vector's scaled near-copy (no shared tokens needed) is
+    flagged; an orthogonal vector is not; numpy and sql impls agree
+    row-for-row after the ROUND(6) recipe."""
+    from pmcanalysis_spark.operators.dedup import semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, vec array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.1, 0.0, 0.0]),   # near eval 100 (cos ~0.999)
+            (2, [0.0, 0.0, 1.0, 0.0]),   # orthogonal to both
+            (3, [0.0, 3.0, 0.0, 0.0]),   # exact direction of eval 101
+        ],
+        "vec_id long, vec array<double>",
+    )
+    got = {
+        r.vec_id: (r.max_sim, r.contaminated)
+        for r in semantic_decontaminate(corpus, ev, threshold=0.95).collect()
+    }
+    assert got[1][1] and got[3] == (1.0, True) and not got[2][1]
+    sql = {
+        tuple(r)
+        for r in semantic_decontaminate(corpus, ev, threshold=0.95, impl="sql").collect()
+    }
+    assert sql == {(k, *v) for k, v in got.items()}
