@@ -321,3 +321,66 @@ def test_pack_sequences_conservation(texts, seq_len):
     if chunks:
         assert [c for c, _ in chunks] == list(range(len(chunks)))
         assert all(n == seq_len for _, n in chunks[:-1])
+
+
+# --- line_dedup vs a scalar Python reference over random corpora ---
+
+_LINE_WORDS = ["nav", "accept", "cookies", "body", "alpha", "beta", "  ", ""]
+
+
+@st.composite
+def line_corpus(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=8))
+    docs = []
+    for i in range(n_docs):
+        n_lines = draw(st.integers(min_value=0, max_value=6))
+        lines = [
+            " ".join(
+                draw(
+                    st.lists(st.sampled_from(_LINE_WORDS), min_size=0, max_size=3)
+                )
+            )
+            for _ in range(n_lines)
+        ]
+        docs.append((i, "\n".join(lines)))
+    return docs
+
+
+def _line_dedup_py(docs, min_docs=2):
+    from collections import defaultdict
+
+    by_key = defaultdict(set)
+    for did, text in docs:
+        for line in text.split("\n"):
+            k = line.strip().lower()
+            if k:
+                by_key[k].add(did)
+    common = {k for k, s in by_key.items() if len(s) >= min_docs}
+    out = {}
+    for did, text in docs:
+        kept, n_lines, n_removed = [], 0, 0
+        for line in text.split("\n"):
+            k = line.strip().lower()
+            if not k:
+                continue
+            n_lines += 1
+            if k in common:
+                n_removed += 1
+            else:
+                kept.append(line)
+        if n_lines:
+            out[did] = (n_lines, n_removed, "\n".join(kept))
+    return out
+
+
+@given(line_corpus(), st.integers(min_value=1, max_value=3))
+@settings(max_examples=25, deadline=None)
+def test_line_dedup_matches_python_reference(spark, corpus, min_docs):
+    from pmcanalysis_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text)
+        for r in line_dedup(docs, min_docs=min_docs).collect()
+    }
+    assert got == _line_dedup_py(corpus, min_docs)
