@@ -1311,47 +1311,56 @@ def line_dedup(
     row per distinct repeated line (AQE handles the occurrence-side skew).
     Rebuild is one groupBy(doc_id) — unique key, no skew. Zero Python UDFs.
     """
-    lines = F.split(F.col(text_col), line_sep)
-    occ = (
+    return apply_line_cut(
+        docs,
+        common_lines(docs, id_col, text_col, line_sep, min_docs),
+        id_col=id_col,
+        text_col=text_col,
+        line_sep=line_sep,
+        # corpus-derived common set: size is bounded only by distinct
+        # repeated lines (can outgrow a broadcast at 100 TB) -> shuffle join
+        broadcast=False,
+    )
+
+
+def _line_occurrences(
+    docs: DataFrame, id_col: str, text_col: str, line_sep: str
+) -> DataFrame:
+    """(doc_id, pos, line, key): one row per non-blank line with its
+    original position and normalized (lower+trim) form — the shared base
+    of detection (`common_lines`) and cutting (`apply_line_cut`)."""
+    return (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.posexplode(lines).alias("pos", "line"),
+            F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
         )
         .withColumn("key", F.lower(F.trim(F.col("line"))))
         .filter(F.col("key") != "")
     )
-    common = (
-        occ.select("key", "doc_id")
+
+
+def common_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """(line_key): every normalized line form in >= ``min_docs`` DISTINCT
+    documents — the detection half of line dedup, also the batch twin of
+    `streaming/boilerplate_stream.streaming_common_lines`. The df count is
+    groupBy(key, doc)-distinct FIRST — (key, doc_id) hashes spread a hot
+    boilerplate line across all partitions — then a map-side-combinable
+    count per key, so no single reducer ever sees a hot line's full
+    occurrence list."""
+    return (
+        _line_occurrences(docs, id_col, text_col, line_sep)
+        .select("key", "doc_id")
         .distinct()
         .groupBy("key")
         .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") >= min_docs)
-        .select("key", F.lit(True).alias("_common"))
-    )
-    flagged = occ.join(common, "key", "left")
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.sum(F.when(F.col("_common"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_removed"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_common").isNull(),
-                                F.struct(F.col("pos"), F.col("line")),
-                            )
-                        )
-                    ),
-                    lambda s: s.getField("line"),
-                ),
-                line_sep,
-            ).alias("text"),
-        )
-        .select("doc_id", "n_lines", "n_removed", "text")
+        .select(F.col("key").alias("line_key"))
     )
 
 
@@ -1362,32 +1371,30 @@ def apply_line_cut(
     text_col: str = "text",
     line_sep: str = "\n",
     key_col: str = "line_key",
+    broadcast: bool = True,
 ) -> DataFrame:
     """The CUT half of line dedup, decoupled from detection: strip every
     line whose normalized form appears in ``common_lines`` (one ``key_col``
-    row per boilerplate line — `line_dedup`'s common set, or the emitted
-    table of `streaming/boilerplate_stream.streaming_common_lines`).
-    Same output contract as ``line_dedup``: (doc_id, n_lines, n_removed,
-    text), survivors rejoined in original order, whitespace-only lines
-    dropped from counting and output.
+    row per boilerplate line — the `common_lines` detector's output, or
+    the emitted table of
+    `streaming/boilerplate_stream.streaming_common_lines`). Output:
+    (doc_id, n_lines, n_removed, text), survivors rejoined in original
+    order, whitespace-only lines dropped from counting and output.
+    `line_dedup` IS common_lines + this function — one rebuild code path.
 
     Detect-once / cut-many is the operational shape at crawl scale: the
     common-line set is a deploy artifact (refreshed daily by the stream or
-    a batch scan), and each ingest batch pays ONE broadcast hash join
-    against it (the set is ~distinct boilerplate lines — MBs) plus the
-    unique-key per-doc rebuild; the corpus-wide distinct/count stage of
-    `line_dedup` is not re-run per batch. Zero Python UDFs."""
-    occ = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
-        )
-        .withColumn("key", F.lower(F.trim(F.col("line"))))
-        .filter(F.col("key") != "")
-    )
-    common = F.broadcast(
-        common_lines.select(F.col(key_col).alias("key")).distinct()
-    ).withColumn("_common", F.lit(True))
+    a batch scan), and each ingest batch pays ONE hash join against it
+    (``broadcast=True``, the default, for MB-scale artifacts; line_dedup
+    passes False because its corpus-derived set is bounded only by
+    distinct repeated lines) plus the unique-key per-doc rebuild; the
+    corpus-wide distinct/count stage is not re-run per batch. Zero
+    Python UDFs."""
+    occ = _line_occurrences(docs, id_col, text_col, line_sep)
+    common = common_lines.select(F.col(key_col).alias("key")).distinct()
+    if broadcast:
+        common = F.broadcast(common)
+    common = common.withColumn("_common", F.lit(True))
     return (
         occ.join(common, "key", "left")
         .groupBy("doc_id")

@@ -1,5 +1,5 @@
 """Streaming boilerplate-line detection (the streaming twin of
-``dedup.line_dedup``'s common-line subquery): as a crawl streams in, emit
+``dedup.common_lines``): as a crawl streams in, emit
 each normalized line the FIRST time it has been seen in >= ``min_docs``
 DISTINCT documents across all micro-batches so far.
 
@@ -17,8 +17,8 @@ The emitted table is a deploy artifact for the cutting pass — the same
 consume shape as ``decontam_stream``'s eval-gram set: a later (stream or
 batch) pass joins it to strip flagged lines, while detection itself never
 re-reads the corpus. Batch parity: on any micro-batch split of a corpus,
-the emitted key set equals ``line_dedup(corpus, min_docs)``'s removed-line
-keys (pytest-pinned).
+the emitted key set equals ``dedup.common_lines(corpus, min_docs)``
+(pytest-pinned via line_dedup).
 """
 
 from __future__ import annotations
