@@ -1888,6 +1888,59 @@ def q_kg_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return highlight_snippets(_docs(spark, sf_dir), _lex_df(spark), width=30)
 
 
+def _bar_images(spark: SparkSession, sf_dir: str):
+    """8×8 grayscale PGM per doc: a vertical 255-bar of width doc_id % 9
+    against black — the aHash of a bar image has closed form
+    (2^w − 1) · 0x0101010101010101 for 0 < w < 8 (strict-above-mean bits
+    are exactly the bar columns) and 0 for the flat images w ∈ {0, 8}."""
+    import pandas as pd
+
+    def build(batches):
+        for pdf in batches:
+            mids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id) % 9
+                row = bytes([255] * w + [0] * (8 - w))
+                mids.append(str(int(doc_id)))
+                payloads.append(b"P5 8 8 255\n" + row * 8)
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    return _docs_parallel(spark, sf_dir).select("doc_id").mapInPandas(
+        build, "media_id string, payload binary"
+    )
+
+
+def q_mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash through the REAL PGM decode (r5): the
+    oracle replays only the closed-form hash of the bar construction, so
+    decode → luma → thumbnail → strict-above-mean bits → LSB-first packing
+    must all be exact."""
+    from pmcanalysis_spark.multimodal import image_ahash
+
+    return image_ahash(_bar_images(spark, sf_dir)).select(
+        F.col("media_id").cast("long").alias("media_id"), "ahash"
+    )
+
+
+def q_dd_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs (r5): image aHash + the SAME banded
+    Hamming machinery as text SimHash (`dedup.hamming_pairs`, 64 bits,
+    16 bands, d<=8 — pigeonhole recall exactly 1, so the banded plan must
+    equal the oracle's brute-force all-pairs scan). Bar images at widths
+    w and w±1 differ in exactly 8 bits (one column), so the planted
+    near-dup structure is live at every SF."""
+    from pmcanalysis_spark.multimodal import image_ahash
+    from pmcanalysis_spark.operators.dedup import hamming_pairs
+
+    sigs = image_ahash(_bar_images(spark, sf_dir)).select(
+        F.col("media_id").cast("long").alias("media_id"), "ahash"
+    )
+    return hamming_pairs(
+        sigs, id_col="media_id", sig_col="ahash",
+        n_bits=64, max_hamming=8, bands=16,
+    ).select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_ts_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (r5): α=0.5 sampling weights over
     per-source token mass, 10k-token target — the mT5/XLM-R mixing rule.
@@ -2350,6 +2403,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- embedding-grain decontamination (r5): gated first-round;
         # -- mm_image_features (r4 green) rotates to 51+ --
         "dd_semantic_decontam": q_dd_semantic_decontam,
+        # -- perceptual image-hash family (r5, added after the final gate
+        # -- lock; slated for the r6 gate per COVERAGE.md; green in the
+        # -- full-registry local replica at 3 SFs) --
+        "mm_image_ahash": q_mm_image_ahash,
+        "dd_image_ahash_pairs": q_dd_image_ahash_pairs,
     }
     gated = {k: base[k] for k in _R5_GATE}
     assert len(gated) == 50
@@ -4510,6 +4568,32 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT vec_id, MAX(c) AS max_sim, MAX(c) >= 0.95 AS contaminated
           FROM sims GROUP BY 1
+        """,
+        # closed-form aHash of the bar construction: strict-above-mean
+        # bits are exactly the bar columns for 0 < w < 8; flat images
+        # (w in {0, 8}) hash to 0. 72340172838076673 = 0x0101010101010101
+        # (one bit per row at the same column).
+        "mm_image_ahash": """
+          SELECT doc_id AS media_id,
+                 CASE WHEN doc_id % 9 = 0 OR doc_id % 9 = 8 THEN 0
+                      ELSE ((1::BIGINT << (doc_id % 9)) - 1)
+                           * 72340172838076673 END AS ahash
+          FROM documents
+        """,
+        # brute-force all-pairs Hamming scan — the banded plan's pigeonhole
+        # guarantee (d=8 < 16 bands) says the outputs must be identical
+        "dd_image_ahash_pairs": """
+          WITH h AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 9 = 0 OR doc_id % 9 = 8 THEN 0
+                        ELSE ((1::BIGINT << (doc_id % 9)) - 1)
+                             * 72340172838076673 END AS ahash
+            FROM documents
+          )
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+          FROM h a JOIN h b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ahash, b.ahash)) <= 8
         """,
     }
 

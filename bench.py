@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "link_anchor_entities",
     "kg_host_harmonic",
     "dd_semantic_decontam",
+    "mm_image_ahash",
+    "dd_image_ahash_pairs",
 ]
 
 

@@ -759,3 +759,48 @@ def decode_and_resize(media: DataFrame, out_w: int = 16, out_h: int = 16) -> Dat
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema=THUMBNAILS)
+
+
+def image_ahash(media: DataFrame, size: int = 8) -> DataFrame:
+    """(media_id, ahash bigint): average-hash perceptual fingerprint —
+    decode (REAL, codec-free formats), luma, ``size``×``size`` thumbnail
+    via the nearest-neighbor kernel, then bit (y·size+x) = 1 iff the cell
+    is STRICTLY above the thumbnail's mean luma (strict: a flat image —
+    all cells == mean — hashes to 0 instead of all-ones). Packed LSB-first
+    row-major into one signed 64-bit (size=8 ⇒ 64 bits). The image twin of
+    ``dedup.simhash64``: near-identical images (recompression, slight
+    crop/brightness) land within a few bits, and
+    ``dedup.hamming_pairs(..., n_bits=size*size)`` finds the pairs with
+    the same banded plan as text SimHash. Undecodable payloads are
+    dropped (count vs media_metadata for coverage). ONE Arrow-batched
+    crossing; downstream banding/joins are pure column algebra."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pixels = decode_pixels(bytes(payload) if payload is not None else b"")
+                if pixels is None:
+                    continue
+                luma = pixels.astype("float64").mean(axis=2)
+                thumb = resize_nearest(luma[:, :, None], size, size)[:, :, 0]
+                bits = (thumb > thumb.mean()).astype(np.uint64).ravel()
+                h = 0
+                for i, bval in enumerate(bits):
+                    if bval:
+                        h |= 1 << i
+                if h >= 1 << 63:  # wrap to signed 64-bit
+                    h -= 1 << 64
+                mids.append(mid)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="object"),
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema="media_id string, ahash long"
+    )

@@ -1002,21 +1002,44 @@ def simhash_pairs(
     (shuffle key = 15-bit band value, well-distributed by the hash), never
     the n² scan. ``materialize`` persists the signature table, which both
     join sides reference (Catalyst won't CSE the 61-aggregate groupBy)."""
-    from pyspark.storagelevel import StorageLevel
-
-    assert max_hamming < bands, "pigeonhole recall guarantee needs d < bands"
-    bits = 60 // bands
     sig = simhash64(docs, id_col, text_col, impl=impl)
     if materialize:
+        from pyspark.storagelevel import StorageLevel
+
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    return hamming_pairs(
+        sig, id_col="doc_id", sig_col="simhash", n_bits=60,
+        max_hamming=max_hamming, bands=bands,
+    )
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    n_bits: int = 64,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(a_id, b_id, hamming) for every pair of integer signatures differing
+    in <= ``max_hamming`` of the low ``n_bits`` bits — the banding + XOR
+    confirm shared by text SimHash (`simhash_pairs`) and perceptual image
+    hashes (`multimodal.image_ahash`). Candidates collide on at least one
+    of ``bands`` exact-match bands (n_bits/bands bits each); for
+    max_hamming < bands the pigeonhole principle makes recall EXACTLY 1,
+    so the output equals the brute-force all-pairs scan (which is what the
+    DuckDB oracles run). Work ∝ band-bucket collisions, never n²."""
+    assert max_hamming < bands, "pigeonhole recall guarantee needs d < bands"
+    assert n_bits % bands == 0, "bands must divide n_bits"
+    bits = n_bits // bands
     mask = (1 << bits) - 1
-    banded = sig.select(
-        "doc_id",
-        "simhash",
+    banded = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(sig_col).alias("_sig"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), b * bits)
+                    F.shiftright(F.col(sig_col), b * bits)
                     .bitwiseAND(F.lit(mask))
                     for b in range(bands)
                 ]
@@ -1024,11 +1047,11 @@ def simhash_pairs(
         ).alias("band", "bucket"),
     )
     a = banded.select(
-        F.col("doc_id").alias("a_id"), F.col("simhash").alias("_sa"),
+        F.col("doc_id").alias("a_id"), F.col("_sig").alias("_sa"),
         "band", "bucket",
     )
     b = banded.select(
-        F.col("doc_id").alias("b_id"), F.col("simhash").alias("_sb"),
+        F.col("doc_id").alias("b_id"), F.col("_sig").alias("_sb"),
         "band", "bucket",
     )
     cand = (

@@ -608,3 +608,58 @@ def test_wav_ragged_data_chunk_total():
     payload[4:8] = (len(payload) - 8).to_bytes(4, "little")
     x, rate = decode_wav_samples(bytes(payload))
     assert x.shape == (3, 1) and rate == 8000
+
+
+def _pgm(w, h, rows):
+    return f"P5 {w} {h} 255\n".encode() + bytes(rows)
+
+
+def test_image_ahash_invariances(spark):
+    """The aHash properties that make it a DEDUP key: uniform brightness
+    shift -> identical hash; one changed thumbnail cell -> small Hamming
+    distance; flat images -> 0 (strict-above-mean); undecodable dropped."""
+    from pmcanalysis_spark.multimodal import image_ahash
+
+    bar = [255] * 4 + [0] * 4
+    dim = [200] * 4 + [0] * 4           # same shape, darker bar
+    onecell = list(bar)
+    onecell[7] = 255                     # one extra bright cell in row 0
+    rows = [
+        ("bar", _pgm(8, 8, bar * 8)),
+        ("dim", _pgm(8, 8, dim * 8)),
+        ("one", _pgm(8, 8, bar * 7 + onecell)),
+        ("flat", _pgm(8, 8, [7] * 64)),
+        ("junk", b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r.media_id: r.ahash for r in image_ahash(df).collect()}
+    assert "junk" not in got and len(got) == 4
+    assert got["bar"] == got["dim"] != 0
+    assert bin(got["bar"] ^ got["one"]).count("1") == 1
+    assert got["flat"] == 0
+
+
+def test_image_ahash_downsamples_larger_formats(spark):
+    """A 16x16 BMP with the same bar pattern hashes identically to the
+    8x8 PGM (nearest-neighbor thumbnail), across two real decoders."""
+    from pmcanalysis_spark.multimodal import image_ahash
+
+    # 24-bit BMP, bottom-up rows, 16 wide bar of width 8 (=> 8x8 bar of 4)
+    w = h = 16
+    row_px = ([255, 255, 255] * 8 + [0, 0, 0] * 8)
+    row_bytes = bytes(row_px)  # 48 bytes, already 4-aligned
+    header = (
+        b"BM" + (54 + len(row_bytes) * h).to_bytes(4, "little") + b"\0\0\0\0"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"\0" * 24
+    )
+    bmp = header + row_bytes * h
+    pgm = _pgm(8, 8, ([255] * 4 + [0] * 4) * 8)
+    df = spark.createDataFrame(
+        [("bmp", bmp), ("pgm", pgm)], "media_id string, payload binary"
+    )
+    got = {r.media_id: r.ahash for r in image_ahash(df).collect()}
+    assert got["bmp"] == got["pgm"] != 0
