@@ -164,10 +164,19 @@ def q_kg_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pmcanalysis_spark.operators.cooccur import pair_counts, scored_pairs, term_stats
+    from pmcanalysis_spark.operators.cooccur import (
+        corpus_size_df,
+        pair_counts,
+        scored_pairs,
+        term_stats,
+    )
 
     m = _mentions(spark, sf_dir).select("term_id", "doc_id")
-    total = m.select("doc_id").distinct().count()
+    # corpus size as a broadcast scalar (corpus_size_df) instead of a
+    # separate blocking .count() job — the old form re-ran the whole
+    # mentions subtree once just to fetch the total (r6, guide §5: no
+    # driver-blocking actions on the query path). Same value, same scores.
+    total = corpus_size_df(m)
     stats = term_stats(m)
     pairs = pair_counts(m, a_prefix="OP:", b_prefix="DS:")
     return scored_pairs(pairs, stats, total, pred="co-occurs-with", round_to=6)

@@ -30,6 +30,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def gram_index(toks, n: int):
+    """Window start indices 0..size-n when the document has at least ``n``
+    tokens, else an EMPTY array — every index then yields a full n-token
+    window, so the old per-gram ``size(split(gram)) == n`` re-tokenization
+    filter (guide §1.2 "per-task work": it re-split every generated gram)
+    is unnecessary. Emitted grams are identical: the filter only ever
+    dropped the single short window of a doc with < n tokens, which this
+    never generates."""
+    return F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def portable_hash64(col, seed: int = 0):
     """Deterministic cross-engine 60-bit hash: first 15 hex chars of
     md5(seed || value) as bigint. DuckDB equivalent:
@@ -80,13 +93,11 @@ def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFra
     """(doc_id, shingle) distinct word n-grams. Native: split + index
     sequence + transform + explode — no Python."""
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        gram_index(toks, n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .filter(F.size(F.split(F.col("shingle"), " ")) == n)
         .distinct()
     )
 
@@ -808,11 +819,13 @@ def span_occurrences(
     span repeated within one document is still duplication. Native column
     algebra (split + posexplode), no Python."""
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - span_len, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, span_len)))
+    grams = F.transform(
+        gram_index(toks, span_len),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, span_len)),
+    )
     return docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "span")
-    ).filter(F.size(F.split(F.col("span"), " ")) == span_len)
+    )
 
 
 def repeated_spans(
@@ -1173,10 +1186,8 @@ def decontaminate(
     per-doc agg on a unique key, map-side partials); no SortMergeJoin
     anywhere; nothing depends on eval x train pairing."""
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.filter(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        lambda g: F.size(F.split(g, " ")) == n,
+    grams = F.transform(
+        gram_index(toks, n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
     occ = docs.select(
         F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("span")

@@ -36,7 +36,11 @@ def precision_recall_by_cutoff(
         "cutoff", F.col(key).alias("k"), F.col(item).alias("i")
     )
     g = gold.select(F.col(key).alias("k"), F.col(item).alias("i"), F.lit(1).alias("pos"))
-    n_gold = gold.count()
+    # gold size rides along as a broadcast 1-row scalar instead of a
+    # separate blocking .count() job — when gold derives from the scored
+    # pairs themselves (kg_cutoff_auc), the count re-ran that whole
+    # subtree before the real query even started (r6, guide §5)
+    n_gold_df = gold.agg(F.count("*").alias("n_gold"))
     labeled = swept.join(g, ["k", "i"], "left")
     return (
         labeled.groupBy("cutoff")
@@ -44,7 +48,7 @@ def precision_recall_by_cutoff(
             F.sum(F.coalesce(F.col("pos"), F.lit(0))).alias("tp"),
             F.count("*").alias("n_pred"),
         )
-        .withColumn("n_gold", F.lit(n_gold))
+        .crossJoin(F.broadcast(n_gold_df))
         .withColumn("precision", F.col("tp") / F.col("n_pred"))
         .withColumn("recall", F.col("tp") / F.col("n_gold"))
     )

@@ -96,6 +96,87 @@ def triangle_count(
     return closed.agg(F.count("*").alias("n_triangles"))
 
 
+def _round_half_up(x: float, scale: int) -> float:
+    """Replicate Spark's ROUND(double, scale): shortest decimal repr
+    (BigDecimal.valueOf == repr — shortest round-trip strings are unique),
+    then HALF_UP at ``scale``. Used by the pagerank driver fast path so its
+    values are bit-identical to the distributed plan's."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-scale), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _pagerank_driver(
+    edge_rows, damping: float, max_iter: int, tol: float, exact_sums: bool
+):
+    """Single-pass Python replica of the iterative plan for SMALL collected
+    edge lists (the compressed host/term graphs the operator is documented
+    for are often tiny relative to the corpus). Arithmetic mirrors the
+    distributed expressions operation-for-operation: per-edge contribution
+    rank/out in double; inflow and dangling sums either plain float
+    (exact_sums=False — the distributed sum is partition-order-dependent
+    there, so any order is equally valid) or DECIMAL(28,12)-quantized
+    HALF_UP then exactly summed and converted back (exact_sums=True — the
+    bit-reproducible mode the unrolled DuckDB oracles replay); final
+    ROUND(rank, 9) via the same shortest-repr HALF_UP rule as Spark."""
+    import decimal
+
+    q12 = decimal.Decimal(1).scaleb(-12)
+    ctx = decimal.Context(prec=50)
+
+    def _sum(values):
+        if exact_sums:
+            acc = decimal.Decimal(0)
+            for v in values:
+                acc = ctx.add(
+                    acc,
+                    decimal.Decimal(repr(v)).quantize(
+                        q12, rounding=decimal.ROUND_HALF_UP
+                    ),
+                )
+            return float(acc)
+        total = 0.0
+        for v in values:
+            total += v
+        return total
+
+    out_deg: dict = {}
+    in_edges: dict = {}
+    verts: set = set()
+    for s, d in edge_rows:
+        verts.add(s)
+        verts.add(d)
+        out_deg[s] = out_deg.get(s, 0) + 1
+        in_edges.setdefault(d, []).append(s)
+    n = len(verts)
+    if n == 0:
+        return []
+    order = sorted(verts)
+    ranks = {v: 1.0 / n for v in order}
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        new_ranks = {}
+        d_mass = _sum([ranks[v] for v in order if v not in out_deg])
+        for v in order:
+            srcs = in_edges.get(v)
+            inflow = _sum([ranks[s] / out_deg[s] for s in srcs]) if srcs else 0.0
+            new_ranks[v] = base + damping * (inflow + d_mass / n)
+        if tol >= 0:
+            delta = 0.0
+            for v in order:
+                delta += abs(new_ranks[v] - ranks[v])
+            ranks = new_ranks
+            if delta <= tol:
+                break
+        else:
+            ranks = new_ranks
+    return [(v, _round_half_up(ranks[v], 9)) for v in order]
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -105,6 +186,7 @@ def pagerank(
     dst: str = "dst",
     vertices: DataFrame | None = None,
     exact_sums: bool = False,
+    driver_threshold: int = 10_000,
 ) -> DataFrame:
     """(id, rank): PageRank over the DIRECTED edge table by power
     iteration expressed as DataFrame joins — rank flows src -> dst,
@@ -133,6 +215,34 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Small-graph fast path (same shape as connected_components'
+    # driver_threshold): compressed host/term graphs are often thousands of
+    # edges while the corpus is terabytes — the iterative join plan then
+    # costs ~10 tiny stages per iteration of pure scheduling overhead.
+    # Collect AT MOST driver_threshold+1 edge rows (bounded memory), and if
+    # the graph fits, run the bit-identical Python replica; otherwise fall
+    # through to the distributed loop. Results are value-identical in
+    # exact_sums mode (DECIMAL(28,12) is order-independent) — proven by the
+    # unrolled DuckDB oracles — and within float-sum reordering noise
+    # otherwise (the distributed sum is partition-order-dependent anyway).
+    if driver_threshold and vertices is None:
+        probe = e.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            spark = edges.sparkSession
+            rows = _pagerank_driver(
+                [(r["src"], r["dst"]) for r in probe],
+                damping, max_iter, tol, exact_sums,
+            )
+            e.unpersist()
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("id", e.schema["src"].dataType),
+                    StructField("rank", DoubleType()),
+                ]
+            )
+            return spark.createDataFrame(rows, schema)
     if vertices is None:
         verts = (
             e.select(F.col("src").alias("id"))
@@ -176,16 +286,24 @@ def pagerank(
             new_ranks = new_ranks.localCheckpoint(eager=True)
         else:
             new_ranks = new_ranks.persist()
-        delta = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "id")
-            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("l1"))
-            .first()["l1"]
-        )
-        ranks.unpersist()
-        ranks = new_ranks
-        if delta is not None and delta <= tol:
-            break
+        # fixed-iteration mode (tol < 0, e.g. the oracle-unrolled
+        # kg_pagerank2/kg_host_rank): the L1 delta could never trigger the
+        # break, yet its join + .first() forced a full blocking job per
+        # iteration — skip the convergence probe entirely (r6, guide §5)
+        if tol >= 0:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "id")
+                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("l1"))
+                .first()["l1"]
+            )
+            ranks.unpersist()
+            ranks = new_ranks
+            if delta is not None and delta <= tol:
+                break
+        else:
+            ranks.unpersist()
+            ranks = new_ranks
     return ranks.select("id", F.round("rank", 9).alias("rank"))
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import gram_index
+
 # tiny deterministic stopword profiles (heuristic language ID)
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
@@ -130,10 +132,8 @@ def repetition_stats(
     count via array_distinct — nothing explodes to rows.
     """
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.filter(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        lambda g: F.size(F.split(g, " ")) == n,
+    grams = F.transform(
+        gram_index(toks, n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
@@ -167,20 +167,13 @@ def top_ngrams(
     single-task global window over the full ngram cardinality); the rank
     window then runs over just k rows.
     """
+    toks = F.split(F.col(text_col), " ")
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.filter(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.greatest(F.size(F.split(F.col(text_col), " ")) - n, F.lit(0)),
-                    ),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.split(F.col(text_col), " "), i + 1, n)
-                    ),
-                ),
-                lambda g: F.size(F.split(g, " ")) == n,
+            F.transform(
+                gram_index(toks, n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
             )
         ).alias("ngram"),
     )
@@ -507,10 +500,8 @@ def keep_filter(
     )
     # repetition (bigram dup fraction) — repetition_stats n=2 expressions
     rtoks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(rtoks) - 2, F.lit(0)))
-    grams = F.filter(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(rtoks, i + 1, 2))),
-        lambda g: F.size(F.split(g, " ")) == 2,
+    grams = F.transform(
+        gram_index(rtoks, 2), lambda i: F.concat_ws(" ", F.slice(rtoks, i + 1, 2))
     )
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))

@@ -47,7 +47,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..operators.dedup import MERSENNE61
+from ..operators.dedup import MERSENNE61, gram_index
 
 CANDIDATES = StructType(
     [
@@ -101,11 +101,9 @@ def row_minhash_bands(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.array_distinct(
-        F.filter(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-            lambda g: F.size(F.split(g, " ")) == n,
+        F.transform(
+            gram_index(toks, n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
         )
     )
     # ONE md5 per shingle: precompute (h1, h2) structs, then each
