@@ -208,9 +208,31 @@ def pair_scores(
     if n_blocking_bands <= 0:
         return scored
 
+    # ---- mega-key path (r6 restructure) ----------------------------------
+    # Two independent wins over the r5 candidates->distinct->two-feature-join
+    # chain:
+    # 1. FIRST-SHARED-BAND dedup: each side of the block self-join carries
+    #    its full band array, and a pair colliding in several bands is kept
+    #    only in the lowest shared band — a narrow in-stage filter replaces
+    #    the .distinct() shuffle of the multi-band candidate stream.
+    # 2. PROFILE dictionary-encoding: the four Jaccards + simm are pure
+    #    functions of the FEATURE VALUES, and real author records repeat
+    #    feature vectors heavily (same coauthor list, same mesh set), so
+    #    score each key's DISTINCT (coauthors, mesh, title, affiliation)
+    #    profile pair once and attach by profile id — the expensive array
+    #    math runs on |profile pairs| rows, not |record pairs|, and the
+    #    record-pair stream stays narrow (ids only) end to end. Worst case
+    #    (all profiles unique) degrades to exactly the old per-pair cost.
+    # The scorer is shared with the small-group path, so scores stay
+    # bit-identical (pure function of the same feature arrays).
     mega = sized.filter(F.col("_gs") > max_group_size).drop("_gs")
-    blocked = mega.withColumn(
-        "_block", F.explode(_block_expr(n_blocking_bands, blocking_col))
+    pid = F.xxhash64("coauthors", "mesh", "title_tokens", "affiliation_tokens")
+    recs = mega.withColumn("_pid", pid)
+    blocked = recs.withColumn(
+        "_bands", _block_expr(n_blocking_bands, blocking_col)
+    ).select(
+        "author_key", "doc_id", "_pid", "_bands",
+        F.posexplode("_bands").alias("_bi", "_block"),
     )
     bcount = F.count("*").over(Window.partitionBy("author_key", "_block"))
     blocked = (
@@ -218,20 +240,106 @@ def pair_scores(
         .filter(F.col("_bs") <= max_group_size)
         .drop("_bs")
     )
-    # candidate ids first (distinct across bands — a pair meeting in two
-    # bands is scored once), then ONE feature join per side; the scorer is
-    # shared with the small-group path so the scores are bit-identical.
-    ca = blocked.select("author_key", "_block", F.col("doc_id").alias("src"))
-    cb = blocked.select("author_key", "_block", F.col("doc_id").alias("dst"))
-    cand = (
-        ca.join(cb, ["author_key", "_block"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("author_key", "src", "dst")
-        .distinct()
+    # explicit width: the banded table is only ~bands x |mega| SMALL rows,
+    # so AQE's size-based coalescing would happily run the whole n²/block
+    # pair EXPANSION in one or two tasks (partition sizing sees join INPUT
+    # bytes, not output rows). A user repartition is exempt from AQE
+    # coalescing and (author_key, _block) ⊆ join keys, so the self-join
+    # reuses this exchange on both sides without adding one.
+    blocked = blocked.repartition(
+        records.sparkSession.sparkContext.defaultParallelism,
+        "author_key", "_block",
     )
-    ma, mb = _feature_sides(mega)
-    mega_scored = _score_pairs(
-        cand.join(ma, ["author_key", "src"]).join(mb, ["author_key", "dst"])
+    a = blocked.select(
+        "author_key", "_bi", "_block",
+        F.col("doc_id").alias("src"),
+        F.col("_pid").alias("_pa"),
+        F.col("_bands").alias("_ba"),
+    )
+    b = blocked.select(
+        "author_key", "_bi", "_block",
+        F.col("doc_id").alias("dst"),
+        F.col("_pid").alias("_pb"),
+        F.col("_bands").alias("_bb"),
+    )
+    earlier_band_matched = F.exists(
+        F.zip_with(
+            F.slice("_ba", 1, F.col("_bi")),
+            F.slice("_bb", 1, F.col("_bi")),
+            lambda x, y: x == y,
+        ),
+        lambda m: m,
+    )
+    cand = (
+        a.join(b, ["author_key", "_bi", "_block"])
+        .filter(F.col("src") < F.col("dst"))
+        .filter(~earlier_band_matched)
+        .select("author_key", "src", "dst", "_pa", "_pb")
+    )
+    # profile-pair score table from PROFILE-level banding (a tiny replay of
+    # the same banding over distinct profiles — a profile's band vector IS
+    # its records' band vector when the blocking set is non-empty, and
+    # empty-set records can never pair with anyone) — so this branch never
+    # touches the record-pair stream, sidestepping a second execution of
+    # the block self-join that a candidates.distinct() would have forced.
+    # Ordered pairs incl. self-pairs, since cand's (_pa, _pb) follows
+    # src < dst doc order, not profile order; a superset is harmless (the
+    # attach join below is inner).
+    prof = recs.select(
+        "author_key", "_pid",
+        "coauthors", "mesh", "title_tokens", "affiliation_tokens",
+    ).distinct()
+
+    def _pband(b_):
+        return lambda c: F.xxhash64(F.lit(b_), c)
+
+    profile_bands = F.array(*[
+        F.array_min(F.transform(F.col(blocking_col), _pband(b_)))
+        for b_ in range(n_blocking_bands)
+    ])
+    pblocked = (
+        prof.filter(F.size(F.col(blocking_col)) > 0)
+        .withColumn("_bands", profile_bands)
+        .select(
+            "author_key", "_pid", "_bands",
+            "coauthors", "mesh", "title_tokens", "affiliation_tokens",
+            F.posexplode("_bands").alias("_bi", "_block"),
+        )
+    )
+    ppa = pblocked.select(
+        "author_key", "_bi", "_block",
+        F.col("_pid").alias("_pa"), F.col("_bands").alias("_ba"),
+        F.col("coauthors").alias("co_a"), F.col("mesh").alias("mesh_a"),
+        F.col("title_tokens").alias("ti_a"),
+        F.col("affiliation_tokens").alias("af_a"),
+    )
+    ppb = pblocked.select(
+        "author_key", "_bi", "_block",
+        F.col("_pid").alias("_pb"), F.col("_bands").alias("_bb"),
+        F.col("coauthors").alias("co_b"), F.col("mesh").alias("mesh_b"),
+        F.col("title_tokens").alias("ti_b"),
+        F.col("affiliation_tokens").alias("af_b"),
+    )
+    ppairs = (
+        ppa.join(ppb, ["author_key", "_bi", "_block"])
+        .filter(~earlier_band_matched)
+        .select(
+            "author_key",
+            F.col("_pa").alias("src"), F.col("_pb").alias("dst"),
+            "co_a", "mesh_a", "ti_a", "af_a",
+            "co_b", "mesh_b", "ti_b", "af_b",
+        )
+    )
+    pscored = _score_pairs(ppairs).select(
+        "author_key",
+        F.col("src").alias("_pa"), F.col("dst").alias("_pb"),
+        "coauthorscore", "meshscore", "titlescore", "affiliationscore", "simm",
+    )
+    mega_scored = cand.join(
+        pscored, ["author_key", "_pa", "_pb"]
+    ).select(
+        "author_key", "src", "dst",
+        "coauthorscore", "meshscore", "titlescore", "affiliationscore", "simm",
     )
     return scored.unionByName(mega_scored)
 
@@ -340,7 +448,89 @@ def connected_components(
         return vertices.join(F.broadcast(lmap), "id", "left").select(
             "id", F.coalesce("component", F.col("id")).alias("component")
         )
-    labels = vertices.select("id", F.col("id").alias("component"))
+    # ---- star-contraction pre-pass (r6) ----------------------------------
+    # One round of f(v) = min(v ∪ N(v)) contraction before the generic loop:
+    # every vertex is connected to f(v) (itself or a neighbor), so replacing
+    # the graph by the f-image — edges {(f(u), f(v))}, self-loops dropped,
+    # duplicates collapsed — preserves the component partition exactly, and
+    # labels unwind through v -> f(v) at the end. Similarity edge sets are
+    # near-clique-dense (a k-duplicate cluster is ~k² edges); the contracted
+    # graph is then tiny (a clique contracts to nothing), usually under
+    # driver_threshold, so the O(log d) join loop runs on a graph orders of
+    # magnitude smaller — or not at all. Cost: one bounded-key aggregation
+    # and one distinct over the remapped edges, both a single shuffle of
+    # well-distributed vertex keys.
+    from pyspark.storagelevel import StorageLevel
+
+    fmap = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(F.col("src").alias("v"), F.least("src", "_m").alias("f"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    fa = fmap.select(F.col("v").alias("src"), F.col("f").alias("_fa"))
+    fb = fmap.select(F.col("v").alias("dst"), F.col("f").alias("_fb"))
+    contracted = (
+        sym.join(fa, "src")
+        .join(fb, "dst")
+        .filter(F.col("_fa") != F.col("_fb"))
+        .select(
+            F.least("_fa", "_fb").alias("src"),
+            F.greatest("_fa", "_fb").alias("dst"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n2 = contracted.count()
+    cverts = fmap.select(F.col("f").alias("id")).distinct()
+
+    def _unwind(comp: DataFrame) -> DataFrame:
+        lab = comp.select(F.col("id").alias("f"), "component")
+        return (
+            vertices.join(fmap, vertices.id == fmap.v, "left")
+            .join(lab, "f", "left")
+            .select(
+                "id",
+                F.coalesce("component", F.col("id")).alias("component"),
+            )
+        )
+
+    if n2 <= driver_threshold:
+        # the contracted graph fits the driver: finish with union-find
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in contracted.collect():
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = [(k, find(k)) for k in parent]
+        spark = edges.sparkSession
+        if labels:
+            lmap = spark.createDataFrame(labels, ["id", "component"])
+        else:
+            lmap = spark.createDataFrame([], cverts.select(
+                F.col("id"), F.col("id").alias("component")).schema)
+        comp = cverts.join(F.broadcast(lmap), "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+        out = _unwind(comp)
+        sym.unpersist()
+        return out
+    # ---- generic O(log d) loop on the contracted graph -------------------
+    sym.unpersist()
+    sym = contracted.unionByName(
+        contracted.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = cverts.select("id", F.col("id").alias("component"))
     # hash-partition the (bigger) symmetrized edge side by the join key ONCE:
     # the persisted partitioning satisfies every iteration's join requirement,
     # so per-iteration shuffles touch only the (smaller) label table
@@ -398,7 +588,7 @@ def connected_components(
             f"connected_components did not converge in {max_iter} iterations; "
             "labels would be wrong — raise max_iter"
         )
-    return labels
+    return _unwind(labels)
 
 
 def canonicalize_terms(
