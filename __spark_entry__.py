@@ -1944,6 +1944,10 @@ def q_dd_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = image_ahash(_bar_images(spark, sf_dir)).select(
         F.col("media_id").cast("long").alias("media_id"), "ahash"
     )
+    # both banded join sides reference the signature subtree, which here is
+    # TWO Python crossings (image build + real PGM decode) — persist so the
+    # decode runs once (r6; same rationale as simhash_pairs' materialize)
+    sigs = sigs.persist()
     return hamming_pairs(
         sigs, id_col="media_id", sig_col="ahash",
         n_bits=64, max_hamming=8, bands=16,

@@ -1059,6 +1059,14 @@ def hamming_pairs(
             )
         ).alias("band", "bucket"),
     )
+    # explicit width (r6): the banded table is tiny in BYTES while the
+    # bucket self-join's OUTPUT is quadratic per bucket, so AQE's
+    # size-based planning would coalesce the expansion into one or two
+    # tasks. A user repartition is exempt from coalescing and matches the
+    # join keys, so both sides reuse this exchange.
+    banded = banded.repartition(
+        sigs.sparkSession.sparkContext.defaultParallelism, "band", "bucket"
+    )
     a = banded.select(
         F.col("doc_id").alias("a_id"), F.col("_sig").alias("_sa"),
         "band", "bucket",
@@ -1067,11 +1075,34 @@ def hamming_pairs(
         F.col("doc_id").alias("b_id"), F.col("_sig").alias("_sb"),
         "band", "bucket",
     )
+    # FIRST-SHARED-BAND dedup (r6): a pair of identical-or-near signatures
+    # collides in MANY bands (an exact duplicate collides in all of them),
+    # and the old .distinct() shuffled that multiplied stream. Band j
+    # collides iff the XOR's j-th band is zero — derivable from the carried
+    # signatures with pure bit ops — so keeping only the LOWEST colliding
+    # band is a narrow in-stage filter and the exchange disappears. The
+    # kept set is exactly the old distinct set (the join key guarantees at
+    # least one colliding band per candidate row). Deliberately SCALAR
+    # arithmetic, not transform/exists: higher-order functions run
+    # interpreted per row, which at candidate-stream volume costs more
+    # than the shuffle they replace (measured 28s vs 2s on the bar-image
+    # bench); a sum of CASE terms stays inside whole-stage codegen.
+    z_terms = []
+    for j in range(bands):
+        m = mask << (j * bits)
+        if m >= 1 << 63:
+            m -= 1 << 64  # literal must be a signed 64-bit value in SQL
+        z_terms.append(
+            f"(CASE WHEN ((_sa ^ _sb) & {m}L) = 0 THEN {1 << j}L ELSE 0L END)"
+        )
+    no_earlier_band = (
+        f"((({' + '.join(z_terms)}) & (shiftleft(1L, band) - 1)) = 0)"
+    )
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.expr(no_earlier_band))
         .select("a_id", "b_id", "_sa", "_sb")
-        .distinct()
     )
     return cand.select(
         "a_id",
