@@ -108,7 +108,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distinct (doc_id, term_id) via word-grain dictionary match (J1:
     broadcast hash join of exploded tokens against the tiny lexicon)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_parallel(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -647,7 +647,7 @@ def q_f_iri_curie(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _chunk_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-grain stand-in over documents: fixed 10-token chunks act as
     sentences (testdata text has no sentence delimiters)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_parallel(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     ).filter(F.col("tok") != "")
@@ -1515,7 +1515,7 @@ def q_link_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame DAG (tf/df/dl aggregates + two broadcast 1-row stats)."""
     from pmcanalysis_spark.linking import bm25_scores
 
-    return bm25_scores(_docs(spark, sf_dir), LEX, k1=1.2, b=0.75)
+    return bm25_scores(_docs_parallel(spark, sf_dir), LEX, k1=1.2, b=0.75)
 
 
 def _term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1570,7 +1570,7 @@ def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scheme-relative //), itself (path-relative), plus a mailto: that must
     be dropped. Pages on site19 emit NO anchors, making site19 a pure
     sink — the PageRank dangling-mass path is live in the gate."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_parallel(spark, sf_dir)
     i = F.col("doc_id")
     s = lambda e: e.cast("string")
     url = F.concat(
@@ -1720,7 +1720,7 @@ def q_dd_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-length-span stand-in for suffix-array substring dedup."""
     from pmcanalysis_spark.operators.dedup import repeated_spans
 
-    return repeated_spans(_docs(spark, sf_dir), span_len=8, min_count=2)
+    return repeated_spans(_docs_parallel(spark, sf_dir), span_len=8, min_count=2)
 
 
 def q_dd_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1728,7 +1728,7 @@ def q_dd_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled from text that exists elsewhere (the actionable cut)."""
     from pmcanalysis_spark.operators.dedup import span_dup_stats
 
-    return span_dup_stats(_docs(spark, sf_dir), span_len=8, min_count=2)
+    return span_dup_stats(_docs_parallel(spark, sf_dir), span_len=8, min_count=2)
 
 
 def q_dd_repeated_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1737,7 +1737,7 @@ def q_dd_repeated_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs (one boilerplate block = one row with exact token boundaries)."""
     from pmcanalysis_spark.operators.dedup import repeated_runs
 
-    return repeated_runs(_docs(spark, sf_dir), span_len=8, min_count=2)
+    return repeated_runs(_docs_parallel(spark, sf_dir), span_len=8, min_count=2)
 
 
 def q_dd_cut_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1746,7 +1746,7 @@ def q_dd_cut_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, pure column algebra (F.filter with index lambda)."""
     from pmcanalysis_spark.operators.dedup import cut_repeated_runs
 
-    return cut_repeated_runs(_docs(spark, sf_dir), span_len=8, min_count=2)
+    return cut_repeated_runs(_docs_parallel(spark, sf_dir), span_len=8, min_count=2)
 
 
 def q_dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1759,7 +1759,7 @@ def q_dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — the only exchange is the per-doc count on doc_id."""
     from pmcanalysis_spark.operators.dedup import decontaminate
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_parallel(spark, sf_dir)
     ev = docs.filter(F.col("doc_id") % 37 == 0)
     tr = docs.filter(F.col("doc_id") % 37 != 0)
     return decontaminate(tr, ev, n=8)
@@ -1974,7 +1974,7 @@ def q_ts_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(9), per-doc mean through the DECIMAL(28,9) sum recipe."""
     from pmcanalysis_spark.operators.textstats import bigram_logppl
 
-    return bigram_logppl(_docs(spark, sf_dir), alpha=0.5, lam=0.7)
+    return bigram_logppl(_docs_parallel(spark, sf_dir), alpha=0.5, lam=0.7)
 
 
 def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2248,7 +2248,7 @@ def q_dd_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates and the exact confirm."""
     from pmcanalysis_spark.operators.dedup import minhash_jaccard_estimate
 
-    return minhash_jaccard_estimate(_docs(spark, sf_dir), num_hashes=16, bands=4)
+    return minhash_jaccard_estimate(_docs_parallel(spark, sf_dir), num_hashes=16, bands=4)
 
 
 def q_ts_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2265,7 +2265,7 @@ def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force oracle must match row-for-row."""
     from pmcanalysis_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, bands=4)
+    return simhash_pairs(_docs_parallel(spark, sf_dir), max_hamming=3, bands=4)
 
 
 # ---------------------------------------------------------------------------
