@@ -108,7 +108,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distinct (doc_id, term_id) via word-grain dictionary match (J1:
     broadcast hash join of exploded tokens against the tiny lexicon)."""
-    docs = _docs_parallel(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -647,7 +647,7 @@ def q_f_iri_curie(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _chunk_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-grain stand-in over documents: fixed 10-token chunks act as
     sentences (testdata text has no sentence delimiters)."""
-    docs = _docs_parallel(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     ).filter(F.col("tok") != "")
@@ -1515,7 +1515,7 @@ def q_link_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame DAG (tf/df/dl aggregates + two broadcast 1-row stats)."""
     from pmcanalysis_spark.linking import bm25_scores
 
-    return bm25_scores(_docs_parallel(spark, sf_dir), LEX, k1=1.2, b=0.75)
+    return bm25_scores(_docs(spark, sf_dir), LEX, k1=1.2, b=0.75)
 
 
 def _term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1974,7 +1974,7 @@ def q_ts_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(9), per-doc mean through the DECIMAL(28,9) sum recipe."""
     from pmcanalysis_spark.operators.textstats import bigram_logppl
 
-    return bigram_logppl(_docs_parallel(spark, sf_dir), alpha=0.5, lam=0.7)
+    return bigram_logppl(_docs(spark, sf_dir), alpha=0.5, lam=0.7)
 
 
 def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
