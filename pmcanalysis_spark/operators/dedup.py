@@ -245,6 +245,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, shingles_df)
     banded = sig.select(
         "doc_id",
+        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -260,13 +261,42 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.select(F.col("doc_id").alias("a_id"), "band", "bucket")
-    b = banded.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+    # explicit width: the banded table is tiny in bytes while bucket
+    # collisions expand quadratically — keep AQE from coalescing the
+    # expansion narrow (see hamming_pairs)
+    banded = banded.repartition(
+        sig.sparkSession.sparkContext.defaultParallelism, "band", "bucket"
+    )
+    a = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("_siga"),
+        "band", "bucket",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("_sigb"),
+        "band", "bucket",
+    )
+    # FIRST-SHARED-BAND dedup instead of .distinct() (r6): a pair whose
+    # signatures agree on several bands used to enter the exchange once per
+    # band; both sides carry the signature array, so "some earlier band
+    # also agrees" is a scalar in-stage predicate (array indexing stays in
+    # whole-stage codegen) and the kept set is exactly the distinct set.
+    def _band_eq(j: int):
+        cond = F.col("_siga")[j * rows_per_band] == F.col("_sigb")[j * rows_per_band]
+        for r in range(1, rows_per_band):
+            cond = cond & (
+                F.col("_siga")[j * rows_per_band + r]
+                == F.col("_sigb")[j * rows_per_band + r]
+            )
+        return cond
+
+    earlier = F.lit(False)
+    for j in range(bands - 1):
+        earlier = earlier | ((F.col("band") > j) & _band_eq(j))
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .filter(~earlier)
         .select("a_id", "b_id")
-        .distinct()
     )
 
 
@@ -338,24 +368,33 @@ def neardup_text_scalable(
     sh = _drop_hot_shingles(sh_raw, docs, id_col, max_shingle_df)
     if materialize_shingles:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a_sh = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("b_id"), "shingle")
-    inter = (
-        cand.join(a_sh, "a_id")  # explode candidates by A's shingles
-        .join(b_sh, ["b_id", "shingle"])  # keep only shingles also in B
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("n_inter"))
+    # confirm via per-doc HASH SETS (r6): pack each doc's hot-filtered
+    # shingles into one sorted 60-bit-hash array (the same h1 identity the
+    # MinHash permutations and the incremental signature store already
+    # use), then attach the two arrays to each LSH candidate and intersect
+    # JVM-side. This replaces two exploded-shingle joins + an intersection
+    # groupBy + a sizes aggregate with ONE groupBy(doc) and two narrow
+    # id-joins — per-pair work is O(|A|+|B|) on candidates only, per-row
+    # memory bounded by the largest single doc, and h1 collisions perturb
+    # a Jaccard by ~|A|·|B|/2^60 (vanishing; the DuckDB oracle replays the
+    # identical hash so the value check stays exact).
+    hs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set(portable_hash64(F.col("shingle")))).alias("_hs")
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
+        cand.join(
+            hs.select(F.col("doc_id").alias("a_id"), F.col("_hs").alias("_ha")),
+            "a_id",
+        )
+        .join(
+            hs.select(F.col("doc_id").alias("b_id"), F.col("_hs").alias("_hb")),
+            "b_id",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("_ha", "_hb")))
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            / (F.size("_ha") + F.size("_hb") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
