@@ -2065,7 +2065,7 @@ def q_dd_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup_signature_store,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_parallel(spark, sf_dir)
     old = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
     store = neardup_signature_store(old, n=3, num_hashes=8, bands=4)
