@@ -89,17 +89,24 @@ def exact_dedup(
     )
 
 
-def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams. Native: split + index
-    sequence + transform + explode — no Python."""
+def shingles_raw(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) word n-grams WITHOUT the per-doc distinct — for
+    consumers that are duplicate-invariant (MinHash takes a min over the
+    permuted hashes, so repeated shingles cannot change any signature) and
+    would otherwise pay the distinct's full exchange for nothing (r6)."""
     toks = F.split(F.col(text_col), " ")
     grams = F.transform(
         gram_index(toks, n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .distinct()
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
     )
+
+
+def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams. Native: split + index
+    sequence + transform + explode — no Python."""
+    return shingles_raw(docs, id_col, text_col, n).distinct()
 
 
 def _drop_hot_shingles(
@@ -209,7 +216,14 @@ def minhash_signatures(
     signature and confirm branches (see ``neardup_text_scalable``).
     """
     assert num_hashes <= 16, "affine-family derivation sized for <= 16 hashes"
-    sh = shingles_df if shingles_df is not None else shingles(docs, id_col, text_col, n)
+    # duplicate shingles cannot change a min, so the default path skips the
+    # per-doc distinct exchange entirely (r6); an explicitly passed
+    # shingles_df (shared/materialized stage) is used as-is
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles_raw(docs, id_col, text_col, n)
+    )
     md5 = F.md5(F.col("shingle"))
     h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
     h2 = F.pmod(F.conv(F.substring(md5, 16, 15), 16, 10).cast("long"),
@@ -362,8 +376,13 @@ def neardup_text_scalable(
     )
     if materialize_shingles and shingles_df is None:
         sh_raw = sh_raw.persist(StorageLevel.MEMORY_AND_DISK)
+    # the signature branch is duplicate-invariant (min over permuted
+    # hashes), so when nothing is shared/materialized it skips the distinct
+    # exchange by letting minhash build its own raw gram stream (r6)
     cand = minhash_lsh_pairs(
-        docs, id_col, text_col, n, num_hashes, bands, shingles_df=sh_raw
+        docs, id_col, text_col, n, num_hashes, bands,
+        shingles_df=sh_raw if (shingles_df is not None or materialize_shingles)
+        else None,
     )
     sh = _drop_hot_shingles(sh_raw, docs, id_col, max_shingle_df)
     if materialize_shingles:
@@ -467,7 +486,13 @@ def neardup_signature_store(
     """
     assert num_hashes <= 16, "affine-family derivation sized for <= 16 hashes"
     rows_per_band = num_hashes // bands
-    sh = shingles_df if shingles_df is not None else shingles(docs, id_col, text_col, n)
+    # duplicate-invariant consumers only (min + collect_set): raw grams,
+    # no distinct exchange (r6)
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles_raw(docs, id_col, text_col, n)
+    )
     md5 = F.md5(F.col("shingle"))
     h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
     h2 = F.pmod(

@@ -5,6 +5,8 @@ fixture-verified tier, like NER and the streaming operators)."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from pmcanalysis_spark.operators.bpe import (
@@ -67,6 +69,7 @@ CORPUS = [
 ]
 
 
+@pytest.mark.slow
 def test_train_bpe_matches_reference(spark):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
     words = Counter()
@@ -102,6 +105,7 @@ def test_train_bpe_min_pair_count_stops(spark):
     assert got == []
 
 
+@pytest.mark.slow
 def test_train_bpe_partitioning_invariant(spark):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
     one = train_bpe(docs.coalesce(1), n_merges=8)

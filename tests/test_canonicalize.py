@@ -4,6 +4,8 @@ reference's greedy clustering (Author2PMID.groovy:126-159) lacks."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pmcanalysis_spark.canonicalize import canonicalize_authors, connected_components
@@ -305,6 +307,7 @@ def test_pair_scores_megakey_blocking(spark):
     assert len(blocked) == len(expected_pairs)
 
 
+@pytest.mark.slow
 def test_canonicalize_authors_megakey_no_record_vanishes(spark):
     """Judge r4 'done' criterion: plant 10,001 records on ONE key (over the
     default 10,000 cap) and prove no record vanishes — every doc_id appears

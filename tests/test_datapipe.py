@@ -3,6 +3,8 @@ clean → dedup → decontaminate → mix → order → shard, resumable."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import sys
@@ -11,6 +13,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
 SF_DIR = "/root/testdata/sf0.001"
 
+
+# measured-stress / e2e tier: excluded from the default profile (pytest.ini), run with -m slow
+pytestmark = pytest.mark.slow
 
 def _run(argv, capsys):
     import run_datapipe

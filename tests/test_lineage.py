@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -103,6 +105,7 @@ def test_fingerprint_stable_across_udf_rebuild(spark):
     assert _fingerprint(build()) == _fingerprint(build())
 
 
+@pytest.mark.slow
 def test_resume_completes_downstream_stages(tmp_path):
     """Regression (ADVICE r1, medium): rerunning after a crash between the
     triples commit and the entities stage must complete the missing stages,

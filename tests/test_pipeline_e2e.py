@@ -15,6 +15,9 @@ from pmcanalysis_spark.pipeline import PipelineConfig, build_mentions, build_tri
 from pmcanalysis_spark.schemas import HIERARCHY, WEB_PAGES
 
 
+# measured-stress / e2e tier: excluded from the default profile (pytest.ini), run with -m slow
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def corpus():
     return build_web_pages(200)

@@ -4,6 +4,8 @@ operator algebraic properties, via Hypothesis on the pure-Python scalars
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import given, settings
@@ -297,6 +299,7 @@ def test_canonical_url_idempotent(urls):
     st.integers(min_value=2, max_value=16),
 )
 @settings(max_examples=15, deadline=None)
+@pytest.mark.slow
 def test_pack_sequences_conservation(texts, seq_len):
     """Invariants for any corpus and chunk size: total tokens across chunks
     equals the corpus token count; every chunk except the highest id is
@@ -375,6 +378,7 @@ def _line_dedup_py(docs, min_docs=2):
 
 @given(line_corpus(), st.integers(min_value=1, max_value=3))
 @settings(max_examples=25, deadline=None)
+@pytest.mark.slow
 def test_line_dedup_matches_python_reference(spark, corpus, min_docs):
     from pmcanalysis_spark.operators.dedup import line_dedup
 
