@@ -411,11 +411,20 @@ def connected_components(
     released by LRU eviction.
     """
     e = edges.select("src", "dst")
+    probe_rows = None
     if n_edges is None:
         from pyspark.storagelevel import StorageLevel
 
         e = e.persist(StorageLevel.MEMORY_AND_DISK)
-        n_edges = e.count()
+        # ONE bounded job decides the path AND feeds the driver fast path:
+        # collect at most driver_threshold+1 rows — when the graph fits,
+        # these ARE the edges (the old .count() probe + .distinct().collect()
+        # ran the upstream twice-ish; union-find is duplicate-tolerant, so
+        # the distinct was only trimming driver traffic the limit already
+        # bounds). When it does not fit, the iterative path continues and
+        # the persist materializes on its first full pass (r6, guide §5).
+        probe_rows = e.limit(driver_threshold + 1).collect()
+        n_edges = len(probe_rows)
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -431,7 +440,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in e.distinct().collect():
+        for r in (probe_rows if probe_rows is not None else e.distinct().collect()):
             a, b = r["src"], r["dst"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
