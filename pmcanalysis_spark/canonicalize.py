@@ -262,14 +262,15 @@ def pair_scores(
         F.col("_pid").alias("_pb"),
         F.col("_bands").alias("_bb"),
     )
-    earlier_band_matched = F.exists(
-        F.zip_with(
-            F.slice("_ba", 1, F.col("_bi")),
-            F.slice("_bb", 1, F.col("_bi")),
-            lambda x, y: x == y,
-        ),
-        lambda m: m,
-    )
+    # scalar first-shared-band predicate: OR over the (fixed, small) band
+    # count of indexed compares — higher-order exists/zip_with/slice runs
+    # INTERPRETED per row, which at candidate-stream volume costs more
+    # than the shuffle it replaces (same lesson as hamming_pairs, r6)
+    earlier_band_matched = F.lit(False)
+    for _j in range(n_blocking_bands - 1):
+        earlier_band_matched = earlier_band_matched | (
+            (F.col("_bi") > _j) & (F.col("_ba")[_j] == F.col("_bb")[_j])
+        )
     cand = (
         a.join(b, ["author_key", "_bi", "_block"])
         .filter(F.col("src") < F.col("dst"))
