@@ -235,7 +235,9 @@ def q_kg_closure_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmcanalysis_spark.operators.cooccur import close_over_hierarchy
 
     m = _mentions(spark, sf_dir).select("term_id", "doc_id")
-    closed = close_over_hierarchy(m, _hier_df(spark))
+    # distinct=False: the COUNT(DISTINCT doc_id) below re-deduplicates, so
+    # the closure's own distinct exchange would be pure cost (r6)
+    closed = close_over_hierarchy(m, _hier_df(spark), distinct=False)
     return closed.groupBy("term_id").agg(F.countDistinct("doc_id").alias("df"))
 
 

@@ -36,20 +36,26 @@ def doc_terms(mentions: DataFrame) -> DataFrame:
     return mentions.select("term_id", F.col("url").alias("doc_id")).distinct()
 
 
-def close_over_hierarchy(dt: DataFrame, hierarchy: DataFrame) -> DataFrame:
+def close_over_hierarchy(
+    dt: DataFrame, hierarchy: DataFrame, distinct: bool = True
+) -> DataFrame:
     """Subclass closure: ancestor's doc set ∪= descendant's doc set (J3/U2).
 
     ``hierarchy(term_id, ancestor_id)`` is the transitive closure (small —
     ontologies are ~1e5 edges), so one broadcast join + union + distinct
     replaces the reference's per-class set-union loop
     (FindDiseasePhenotypes2.groovy:172-183). Distinct, not sum: doc sets
-    deduplicate across descendants.
+    deduplicate across descendants. ``distinct=False`` skips that exchange
+    for consumers that re-deduplicate anyway (a downstream
+    COUNT(DISTINCT doc_id) — r6): values are identical, one full shuffle
+    of the unioned table cheaper.
     """
     inherited = (
         dt.join(F.broadcast(hierarchy), "term_id")
         .select(F.col("ancestor_id").alias("term_id"), "doc_id")
     )
-    return dt.unionByName(inherited).distinct()
+    out = dt.unionByName(inherited)
+    return out.distinct() if distinct else out
 
 
 def term_stats(dt: DataFrame) -> DataFrame:
