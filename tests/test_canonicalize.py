@@ -348,3 +348,20 @@ def test_mega_key_stats_lineage_surface(spark):
     got = {r["author_key"]: r["n_records"]
            for r in mega_key_stats(df, max_group_size=10).collect()}
     assert got == {"big": 15}
+
+
+def test_cc_contraction_loop_matches_driver_union_find(spark):
+    """r6: forcing the iterative path (star contraction + label loop,
+    driver_threshold=0) must give the identical min-id components as the
+    driver union-find, including a long chain (worst case for
+    contraction: shrinks by one per round, the O(log d) loop finishes)."""
+    edges = [(i, i + 1) for i in range(1, 40)]          # chain 1..40
+    edges += [(100, 101), (101, 102), (100, 102)]      # triangle
+    edges += [(200 + i, 200) for i in range(1, 8)]     # star
+    e = spark.createDataFrame(edges, "src long, dst long")
+    fast = {r["id"]: r["component"]
+            for r in connected_components(e).collect()}
+    loop = {r["id"]: r["component"]
+            for r in connected_components(e, driver_threshold=0).collect()}
+    assert fast == loop
+    assert loop[40] == 1 and loop[102] == 100 and loop[207] == 200

@@ -822,3 +822,42 @@ def test_semantic_decontaminate_flags_planted_paraphrases(spark):
         for r in semantic_decontaminate(corpus, ev, threshold=0.95, impl="sql").collect()
     }
     assert sql == {(k, *v) for k, v in got.items()}
+
+
+def test_minhash_signatures_duplicate_invariant_raw_path(spark):
+    """r6: the default raw-gram path (no per-doc distinct) must produce the
+    same signatures as an explicitly distinct shingle table — a min over
+    permuted hashes cannot see duplicates."""
+    from pmcanalysis_spark.operators.dedup import minhash_signatures, shingles
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "x y z w v u t s"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    raw = {r["doc_id"]: r["sig"]
+           for r in minhash_signatures(docs, num_hashes=8).collect()}
+    dis = {r["doc_id"]: r["sig"]
+           for r in minhash_signatures(
+               docs, num_hashes=8,
+               shingles_df=shingles(docs, "doc_id", "text", 3)).collect()}
+    assert raw == dis
+
+
+def test_hamming_pairs_first_band_dedup_on_duplicate_heavy_input(spark):
+    """r6: with many IDENTICAL signatures (collide in every band), the
+    first-shared-band filter must still emit each qualifying pair exactly
+    once — the set a brute-force all-pairs scan produces."""
+    from itertools import combinations
+
+    from pmcanalysis_spark.operators.dedup import hamming_pairs
+
+    sigs = [(i, 0b1111000) for i in range(6)] + [(i, 0b1111001) for i in range(6, 10)]
+    df = spark.createDataFrame(sigs, "doc_id long, sig long")
+    got = {(r["a_id"], r["b_id"], r["hamming"])
+           for r in hamming_pairs(df, n_bits=64, max_hamming=2, bands=16).collect()}
+    exp = set()
+    for (a, sa), (b, sb) in combinations(sigs, 2):
+        h = bin(sa ^ sb).count("1")
+        if h <= 2:
+            exp.add((min(a, b), max(a, b), h))
+    assert got == exp and len(got) == len(exp)

@@ -201,3 +201,22 @@ def test_harmonic_centrality_radius_and_dedup(spark):
     got3 = {r.id: r.rank for r in harmonic_centrality(cyc, max_hops=3).collect()}
     expect = round(1.0 + 0.5 + round(1.0 / 3, 9), 6)
     assert set(got3.values()) == {expect}
+
+
+def test_pagerank_driver_path_bit_identical_to_distributed(spark):
+    """r6: the small-graph driver fast path must reproduce the distributed
+    plan's exact_sums ranks BIT-exactly (DECIMAL(28,12) HALF_UP quantized
+    sums + shortest-repr ROUND replicated operation-for-operation)."""
+    from pmcanalysis_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("e", "a"),
+         ("d", "b"), ("b", "a")],
+        "src string, dst string",
+    )
+    fast = {r["id"]: r["rank"] for r in
+            pagerank(edges, max_iter=3, tol=-1.0, exact_sums=True).collect()}
+    dist = {r["id"]: r["rank"] for r in
+            pagerank(edges, max_iter=3, tol=-1.0, exact_sums=True,
+                     driver_threshold=0).collect()}
+    assert fast == dist  # exact float equality, not a tolerance
